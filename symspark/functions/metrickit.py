@@ -24,8 +24,10 @@ def _offset(frame: dict) -> int:
     return int(off) if off is not None else 0
 
 
-def flatten_metrickit(text: str) -> tuple[list[dict] | None, str | None]:
-    """Returns ``(frames, error)``; each frame is
+def flatten_metrickit(text: str) -> tuple[list[list[dict]] | None, str | None]:
+    """Returns ``(stacks, error)``: one frame list per callStack (possibly
+    empty — an empty call stack still contributes an empty entry to the
+    output join, logs_processor.go:357-398).  Each frame is
     ``{stack_idx, bin, buuid, offset}`` in symbolication order."""
     try:
         report = json.loads(text)
@@ -33,18 +35,20 @@ def flatten_metrickit(text: str) -> tuple[list[dict] | None, str | None]:
         return None, f"invalid MetricKit JSON: {e}"
     if not isinstance(report, dict):
         return None, "invalid MetricKit JSON: not an object"
-    frames: list[dict] = []
     call_stacks = report.get("callStacks") or []
     if not isinstance(call_stacks, list):
         return None, "invalid MetricKit JSON: callStacks is not a list"
+    stacks: list[list[dict]] = []
     for si, cs in enumerate(call_stacks):
+        stack: list[dict] = []
+        stacks.append(stack)
         if not isinstance(cs, dict):
             continue
         roots = cs.get("callStackRootFrames")
         if roots:
             frame = roots[0]
             while frame is not None:
-                frames.append(
+                stack.append(
                     {
                         "stack_idx": si,
                         "bin": frame.get("binaryName") or "",
@@ -57,7 +61,7 @@ def flatten_metrickit(text: str) -> tuple[list[dict] | None, str | None]:
         flat = cs.get("callStackFrames")
         if flat:
             for frame in flat:
-                frames.append(
+                stack.append(
                     {
                         "stack_idx": si,
                         "bin": frame.get("binaryName") or "",
@@ -65,4 +69,4 @@ def flatten_metrickit(text: str) -> tuple[list[dict] | None, str | None]:
                         "offset": _offset(frame),
                     }
                 )
-    return frames, None
+    return stacks, None

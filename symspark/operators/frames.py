@@ -1,0 +1,146 @@
+"""Parse stage wiring: attach the parsed struct and explode the unified
+frame IR.
+
+Raw-text routes go through the vectorized pandas UDF
+(functions/parse.py); structured-array routes are pure JVM expressions:
+``arrays_zip`` + ``transform`` build the frames, and the mismatched-length
+check reproduces sourcemapprocessor/processor.go:260-267 /
+proguardprocessor/log_processor.go:197-204 (including the reference's
+quirk that the output arrays are emptied *before* the check, so a
+mismatch leaves empty arrays behind).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from symspark.config import PipelineConfig
+from symspark.functions.parse import parse_stack_udf
+from symspark.schemas import FRAME_SCHEMA
+
+_UDF_ROUTES = ("js", "jvm", "apple", "mk")
+
+# (field, sql type) in FRAME_SCHEMA order
+_FRAME_FIELDS = [(f.name, f.dataType.simpleString()) for f in FRAME_SCHEMA.fields]
+
+
+def frame_struct(**given: Column) -> Column:
+    """Build a full frame struct, nulling unspecified fields."""
+    cols = []
+    for name, typ in _FRAME_FIELDS:
+        c = given.get(name, F.lit(None))
+        cols.append(c.cast(typ).alias(name))
+    return F.struct(*cols)
+
+
+def _structured_parsed(cfg: PipelineConfig, kind: str) -> Column:
+    """Parsed struct for a structured-array route (JVM-only expressions)."""
+    if kind == "js":
+        ref_keys = [  # names used in the mismatch error (factory.go:29-33)
+            "exception.structured_stacktrace.columns",
+            "exception.structured_stacktrace.functions",
+            "exception.structured_stacktrace.lines",
+            "exception.structured_stacktrace.urls",
+        ]
+        cols = [cfg.js_columns_col, cfg.js_functions_col, cfg.js_lines_col, cfg.js_urls_col]
+        zipped = F.arrays_zip(
+            F.col(cfg.js_columns_col).alias("c"),
+            F.col(cfg.js_functions_col).alias("f"),
+            F.col(cfg.js_lines_col).alias("l"),
+            F.col(cfg.js_urls_col).alias("u"),
+        )
+        frames = F.transform(
+            zipped,
+            lambda x, i: frame_struct(
+                pos=i, kind=F.lit("js"), url=x["u"], func=x["f"], line=x["l"], col=x["c"]
+            ),
+        )
+        # iteration count = columns length (processor.go:253)
+        sizes_equal = (
+            (F.size(cols[0]) == F.size(cols[1]))
+            & (F.size(cols[0]) == F.size(cols[2]))
+            & (F.size(cols[0]) == F.size(cols[3]))
+        )
+    else:
+        ref_keys = [  # proguardprocessor/factory.go:31-34
+            "exception.structured_stacktrace.classes",
+            "exception.structured_stacktrace.methods",
+            "exception.structured_stacktrace.lines",
+            "exception.structured_stacktrace.source_files",
+        ]
+        cols = [cfg.jvm_classes_col, cfg.jvm_methods_col, cfg.jvm_lines_col, cfg.jvm_source_files_col]
+        zipped = F.arrays_zip(
+            F.col(cfg.jvm_classes_col).alias("c"),
+            F.col(cfg.jvm_methods_col).alias("m"),
+            F.col(cfg.jvm_lines_col).alias("l"),
+            F.col(cfg.jvm_source_files_col).alias("s"),
+        )
+        frames = F.transform(
+            zipped,
+            lambda x, i: frame_struct(
+                pos=i, kind=F.lit("jvm"), cls=x["c"], method=x["m"], line=x["l"], src=x["s"]
+            ),
+        )
+        sizes_equal = (
+            (F.size(cols[0]) == F.size(cols[1]))
+            & (F.size(cols[0]) == F.size(cols[2]))
+            & (F.size(cols[0]) == F.size(cols[3]))
+        )
+
+    mismatch_err = F.format_string(
+        "mismatched stacktrace attribute lengths: (%s %d) (%s %d) (%s %d) (%s %d)",
+        F.lit(ref_keys[0]), F.size(cols[0]),
+        F.lit(ref_keys[1]), F.size(cols[1]),
+        F.lit(ref_keys[2]), F.size(cols[2]),
+        F.lit(ref_keys[3]), F.size(cols[3]),
+    )
+    empty_frames = F.array().cast(f"array<{FRAME_SCHEMA.simpleString()}>")
+    return F.struct(
+        F.col(cfg.exception_type_col).alias("name"),
+        F.col(cfg.exception_message_col).alias("message"),
+        F.lit(None).cast("string").alias("mode"),
+        F.when(~sizes_equal, mismatch_err).alias("error"),
+        F.when(sizes_equal, frames).otherwise(empty_frames).alias("frames"),
+    )
+
+
+def attach_parsed(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Add the ``parsed`` column.  Only UDF-route rows ship text to Python
+    (others pass NULL through Arrow)."""
+    route = F.col(cfg.route_col)
+    in_udf = route.isin(*_UDF_ROUTES)
+    udf_parsed = parse_stack_udf(
+        F.when(in_udf, F.col("text")),
+        F.when(in_udf, route),
+        F.col(cfg.exception_type_col),
+        F.col(cfg.exception_message_col),
+    )
+    parsed = (
+        F.when(in_udf, udf_parsed)
+        .when(route == "js_structured", _structured_parsed(cfg, "js"))
+        .when(route == "jvm_structured", _structured_parsed(cfg, "jvm"))
+    )
+    return df.withColumn("parsed", parsed)
+
+
+# Narrow record-side columns every enrichment needs at frame level.
+FRAME_CARRY_COLS = [
+    "conv_id",
+    "turn_idx",
+    "route",
+    "source_map_uuid",
+    "build_uuid",
+    "app_executable",
+    "proguard_uuid",
+]
+
+
+def explode_frames(parsed_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Explode the unified frames array (record payload stays behind; the
+    enriched frames regroup on (conv_id, turn_idx) and join back)."""
+    has_frames = F.col("parsed").isNotNull() & (F.size("parsed.frames") > 0)
+    return (
+        parsed_df.where(has_frames)
+        .select(*FRAME_CARRY_COLS, F.explode("parsed.frames").alias("fr"))
+        .select(*FRAME_CARRY_COLS, "fr.*")
+    )

@@ -1,0 +1,100 @@
+"""End-to-end parse -> enrich -> route -> aggregate pipeline.
+
+Physical design (SURVEY.md §4, §7):
+- ONE scan of the transcript table; gate/route are JVM expressions; the
+  vectorized parse UDF runs once (skip rows ship NULL text through Arrow).
+- ONE explicit shuffle: ``repartition(conv_id, turn_idx)`` right after
+  parse.  Both downstream branches (frame explode+enrich+regroup, and the
+  record-side join) consume the same exchange, which Spark materializes
+  once (ReusedExchange) — the frame regroup and the record join then need
+  no further exchanges because the clustering is preserved through
+  explode and the broadcast joins.
+- ALL enrichment joins are broadcast hash joins against pre-aggregated
+  dimension tables (no dim-side explosion, no shuffle joins).
+- Skew: hot conv_ids are harmless here because the shuffle key is
+  (conv_id, turn_idx) — per-turn granularity; a single conversation's
+  turns spread across partitions.  AQE skew-join is enabled as a backstop
+  (session.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from symspark.config import DEFAULT_CONFIG, PipelineConfig
+from symspark.operators import assemble, dsym, frames as frames_op, proguard, route as route_op, sourcemap
+from symspark.schemas import (
+    DSYM_STORE_SCHEMA,
+    DSYM_SYMBOLS_SCHEMA,
+    PROGUARD_MAPPING_SCHEMA,
+    PROGUARD_STORE_SCHEMA,
+    SOURCEMAP_STORE_SCHEMA,
+    SOURCEMAP_TOKENS_SCHEMA,
+)
+
+
+@dataclass
+class Lookups:
+    """The symbol-store dimension tables (SURVEY.md §2.1 S4-S9)."""
+
+    sourcemap_tokens: DataFrame
+    sourcemap_store: DataFrame
+    proguard_mapping: DataFrame
+    proguard_store: DataFrame
+    dsym_symbols: DataFrame
+    dsym_store: DataFrame
+
+
+def load_lookups(spark: SparkSession, directory: str) -> Lookups:
+    def rd(name: str, schema) -> DataFrame:
+        return spark.read.schema(schema).parquet(os.path.join(directory, f"{name}.parquet"))
+
+    return Lookups(
+        sourcemap_tokens=rd("sourcemap_tokens", SOURCEMAP_TOKENS_SCHEMA),
+        sourcemap_store=rd("sourcemap_store", SOURCEMAP_STORE_SCHEMA),
+        proguard_mapping=rd("proguard_mapping", PROGUARD_MAPPING_SCHEMA),
+        proguard_store=rd("proguard_store", PROGUARD_STORE_SCHEMA),
+        dsym_symbols=rd("dsym_symbols", DSYM_SYMBOLS_SCHEMA),
+        dsym_store=rd("dsym_store", DSYM_STORE_SCHEMA),
+    )
+
+
+def run_pipeline(
+    transcripts: DataFrame,
+    lookups: Lookups,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    repartition: bool = True,
+) -> DataFrame:
+    """Return the enriched record-level DataFrame (one row per input turn,
+    stable under (conv_id, turn_idx) ordering)."""
+    df = route_op.gate_and_route(transcripts, cfg)
+    df = frames_op.attach_parsed(df, cfg)
+    if repartition:
+        df = df.repartition("conv_id", "turn_idx")
+
+    fr = frames_op.explode_frames(df, cfg)
+    fr = sourcemap.enrich_js(fr, lookups.sourcemap_tokens, lookups.sourcemap_store, cfg)
+    fr = proguard.enrich_jvm(fr, lookups.proguard_mapping, lookups.proguard_store, cfg)
+    fr = dsym.enrich_apple(fr, lookups.dsym_symbols, lookups.dsym_store, cfg)
+    fr = assemble.coalesce_outcomes(fr)
+    grouped = assemble.regroup(fr)
+
+    return assemble.assemble_records(df, grouped, cfg)
+
+
+def sink_aggregates(enriched: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Per-sink counters mirroring the reference's internal telemetry
+    (SURVEY.md §2.6 A1-A3 + routed-row counts)."""
+    return (
+        enriched.groupBy(cfg.sink_col)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.coalesce(F.col("frames_processed"), F.lit(0))).alias("frames_processed"),
+            F.sum(F.coalesce(F.col("frames_failed"), F.lit(0))).alias("frames_failed"),
+            F.sum(F.coalesce(F.col("fetch_failures"), F.lit(0))).alias("fetch_failures"),
+        )
+        .orderBy(cfg.sink_col)
+    )

@@ -91,7 +91,6 @@ FRAME_SCHEMA = T.StructType(
 
 PARSED_SCHEMA = T.StructType(
     [
-        T.StructField("route", T.StringType(), True),
         T.StructField("name", T.StringType(), True),  # exception type
         T.StructField("message", T.StringType(), True),  # exception message
         T.StructField("mode", T.StringType(), True),  # js: stack|stacktrace|multiline

@@ -40,11 +40,13 @@ def test_metrickit_apple_recursive():
         '{"binaryName":"A","binaryUUID":"U1","offsetIntoBinaryTextSegment":100,'
         '"subFrames":[{"binaryName":"B","binaryUUID":"U2","offsetIntoBinaryTextSegment":200}]}]}]}'
     )
-    frames, err = flatten_metrickit(text)
+    stacks, err = flatten_metrickit(text)
     assert err is None
-    assert frames == [
-        {"stack_idx": 0, "bin": "A", "buuid": "U1", "offset": 100},
-        {"stack_idx": 0, "bin": "B", "buuid": "U2", "offset": 200},
+    assert stacks == [
+        [
+            {"stack_idx": 0, "bin": "A", "buuid": "U1", "offset": 100},
+            {"stack_idx": 0, "bin": "B", "buuid": "U2", "offset": 200},
+        ]
     ]
 
 
@@ -54,11 +56,13 @@ def test_metrickit_flat_otel():
         '{"binaryName":"A","binaryUUID":"U1","offsetAddress":7},'
         '{"binaryName":"B","binaryUUID":"U2"}]}]}'
     )
-    frames, err = flatten_metrickit(text)
+    stacks, err = flatten_metrickit(text)
     assert err is None
-    assert frames == [
-        {"stack_idx": 0, "bin": "A", "buuid": "U1", "offset": 7},
-        {"stack_idx": 0, "bin": "B", "buuid": "U2", "offset": 0},
+    assert stacks == [
+        [
+            {"stack_idx": 0, "bin": "A", "buuid": "U1", "offset": 7},
+            {"stack_idx": 0, "bin": "B", "buuid": "U2", "offset": 0},
+        ]
     ]
 
 
@@ -68,20 +72,22 @@ def test_metrickit_offset_preference():
         '{"callStacks":[{"callStackFrames":['
         '{"binaryName":"A","binaryUUID":"U1","offsetAddress":7,"offsetIntoBinaryTextSegment":9}]}]}'
     )
-    frames, _ = flatten_metrickit(text)
-    assert frames[0]["offset"] == 9
+    stacks, _ = flatten_metrickit(text)
+    assert stacks[0][0]["offset"] == 9
 
 
-def test_metrickit_two_stacks():
+def test_metrickit_two_stacks_and_empty():
     text = (
         '{"callStacks":['
         '{"callStackFrames":[{"binaryName":"A","binaryUUID":"U1","offsetAddress":1}]},'
+        '{"threadAttributed":false},'
         '{"callStackFrames":[{"binaryName":"A","binaryUUID":"U1","offsetAddress":2}]}]}'
     )
-    frames, _ = flatten_metrickit(text)
-    assert [f["stack_idx"] for f in frames] == [0, 1]
+    stacks, _ = flatten_metrickit(text)
+    assert [len(s) for s in stacks] == [1, 0, 1]
+    assert stacks[0][0]["stack_idx"] == 0 and stacks[2][0]["stack_idx"] == 2
 
 
 def test_metrickit_invalid_json():
-    frames, err = flatten_metrickit('{"callStacks": [}')
-    assert frames is None and err.startswith("invalid MetricKit JSON")
+    stacks, err = flatten_metrickit('{"callStacks": [}')
+    assert stacks is None and err.startswith("invalid MetricKit JSON")
