@@ -179,8 +179,11 @@ def assemble_records(parsed_df: DataFrame, grouped: DataFrame, cfg: PipelineConf
         & F.col(cfg.exception_message_col).isNotNull(),
         F.format_string("%s: %s", F.col(cfg.exception_type_col), F.col(cfg.exception_message_col)),
     )
-    js_jvm_text = F.when(header.isNotNull(), F.concat_ws("\n", header, F.coalesce(body, F.lit("")))).otherwise(
-        F.coalesce(body, F.lit(""))
+    body_empty = body.isNull() | (body == "")
+    js_jvm_text = (
+        F.when(header.isNotNull() & body_empty, header)
+        .when(header.isNotNull(), F.concat(header, F.lit("\n"), body))
+        .otherwise(F.coalesce(body, F.lit("")))
     )
     text_out = (
         F.when(~processed | pre_err.isNotNull() | mk_abort, text)
