@@ -1,0 +1,672 @@
+"""Driver-contract query catalog.
+
+Each entry pairs a Spark DataFrame implementation with an equivalent
+ANSI-SQL oracle that DuckDB runs on the same parquet tables
+(pre-registered views: region nation customer supplier part orders
+lineitem events documents embeddings).  Every computed column is aliased
+identically on both sides; float-valued outputs are computed with
+deterministic sequential arithmetic or decimal-cast sums so both engines
+hash identically.
+
+The catalog maps the reference pipeline's operator families onto the
+driver tables (gate/filter/route/regex-parse/json-parse/broadcast-enrich/
+range-join/as-of-join/aggregate — SURVEY.md §2) and adds the
+training-data-pipeline operators (dedup exact/minhash-LSH/jaccard/simhash,
+ANN similarity, text quality/lang-id/fingerprint/token-count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# decimal-cast sum: deterministic & identical across engines
+def _dsum(col):
+    return F.round(F.sum(col.cast("decimal(38,6)")), 2).cast("double")
+
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Pipeline operator analogs on the driver tables
+# ---------------------------------------------------------------------------
+
+@q("gate_filter", """
+SELECT user_id, count(*) AS n_errors
+FROM events WHERE event_type = 'error' GROUP BY user_id
+""")
+def _gate_filter(spark, sf_dir):
+    # F1 presence gate: cheap predicate before any expensive work
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+
+
+@q("language_allowlist", """
+SELECT lower(lang) AS lang_lc, count(*) AS n
+FROM documents WHERE lang IS NOT NULL AND lower(lang) IN ('en', 'fr')
+GROUP BY lower(lang)
+""")
+def _language_allowlist(spark, sf_dir):
+    # F2: case-insensitive allow-list, missing attribute => skip
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").isNotNull() & F.lower("lang").isin("en", "fr"))
+        .groupBy(F.lower("lang").alias("lang_lc"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q("route_fanout", """
+SELECT CASE WHEN event_type = 'error' THEN 'errors'
+            WHEN event_type IN ('click','view') THEN 'ui'
+            WHEN event_type IN ('signup','purchase') THEN 'conversion'
+            ELSE 'other' END AS route,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""")
+def _route_fanout(spark, sf_dir):
+    # R1-R4: per-row route key + per-sink counts
+    e = _t(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type") == "error", "errors")
+        .when(F.col("event_type").isin("click", "view"), "ui")
+        .when(F.col("event_type").isin("signup", "purchase"), "conversion")
+        .otherwise("other")
+    )
+    return e.groupBy(route.alias("route")).agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users")
+    )
+
+
+@q("regex_parse", """
+SELECT doc_id, regexp_extract(text, '^(\\w+)', 1) AS first_token,
+       length(text) AS n_chars_text
+FROM documents
+""")
+def _regex_parse(spark, sf_dir):
+    # P1-P10 analog: regex extraction as a scan-level projection
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_token"),
+        F.length("text").alias("n_chars_text"),
+    )
+
+
+@q("json_extract", """
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def _json_extract(spark, sf_dir):
+    # P11 analog: structured payload extraction from a string column
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q("broadcast_enrich", """
+SELECT p_brand, count(*) AS n,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""")
+def _broadcast_enrich(spark, sf_dir):
+    # J1: fact-to-dim broadcast hash join (the symbol-store lookup shape)
+    li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@q("multi_join_region_revenue", """
+SELECT r_name, count(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def _multi_join(spark, sf_dir):
+    # J5-style chained enrichment across dims
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+@q("range_join", """
+SELECT label, count(*) AS n
+FROM events JOIN (VALUES (0,25,'low'),(25,50,'mid'),(50,75,'high'),(75,1000000,'top'))
+     AS b(lo, hi, label)
+  ON value >= lo AND value < hi
+GROUP BY label
+""")
+def _range_join(spark, sf_dir):
+    # J3/J4 analog: range/theta predicate against a broadcast interval dim
+    e = _t(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0, 25, "low"), (25, 50, "mid"), (50, 75, "high"), (75, 1000000, "top")],
+        "lo int, hi int, label string",
+    )
+    return (
+        e.join(F.broadcast(buckets), (e.value >= F.col("lo")) & (e.value < F.col("hi")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q("asof_join", """
+SELECT e.event_id, CAST(floor(epoch(max(s.ts))) AS BIGINT) AS prior_signup
+FROM events e
+LEFT JOIN events s
+  ON s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""")
+def _asof_join(spark, sf_dir):
+    # as-of join via a range window (SURVEY.md §4 item 3): for each error,
+    # the most recent signup at-or-before it for the same user
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp"))
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prior = F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    return (
+        e.withColumn("prior_signup", F.unix_timestamp(prior))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "prior_signup")
+    )
+
+
+@q("agg_counters", """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY event_type
+""")
+def _agg_counters(spark, sf_dir):
+    # A1-A3: counter aggregation per sink key
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@q("window_hourly", """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_ts,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""")
+def _window_hourly(spark, sf_dir):
+    # streaming-window analog in batch: tumbling 1h aggregation
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
+
+
+@q("topk_sort", """
+SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 20
+""")
+def _topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.orderBy(F.col("value").desc(), "event_id").select("event_id", "value").limit(20)
+
+
+@q("anti_join", """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""")
+def _anti_join(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+@q("rollup_counts", """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def _rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def _tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(price).alias("sum_base_price"),
+        _dsum(price * (1 - disc)).alias("sum_disc_price"),
+        _dsum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+@q("dedup_exact", """
+SELECT md5(lower(text)) AS fp, count(*) AS n, min(doc_id) AS min_doc
+FROM documents GROUP BY md5(lower(text))
+""")
+def _dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower("text").cast("binary"))
+    return d.groupBy(fp.alias("fp")).agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc")
+    )
+
+
+def _shingles_spark(col="text"):
+    ws = F.split(F.col(col), " ")
+    idx = F.when(F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+
+
+_SHINGLES_DUCK = (
+    "list_transform("
+    " CASE WHEN len(string_split(text,' ')) >= 3"
+    "      THEN generate_series(1, len(string_split(text,' ')) - 2) ELSE [] END,"
+    " i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]"
+    "      || ' ' || string_split(text,' ')[i+2])"
+)
+
+
+@q("dedup_minhash_lsh", f"""
+WITH sigs AS (
+  SELECT doc_id,
+         list_min(list_transform({_SHINGLES_DUCK}, s -> md5('h0|' || s))) AS sig0,
+         list_min(list_transform({_SHINGLES_DUCK}, s -> md5('h1|' || s))) AS sig1
+  FROM documents WHERE len(string_split(text,' ')) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b
+  ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.doc_id < b.doc_id
+""")
+def _dedup_minhash(spark, sf_dir):
+    """MinHash + LSH near-dup: 3-word shingles -> 2 minhash signatures ->
+    band bucket -> self-join on the bucket (candidate pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles_spark()
+    sigs = d.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id",
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit("h0|"), s).cast("binary")))).alias("sig0"),
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit("h1|"), s).cast("binary")))).alias("sig1"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return a.join(
+        b,
+        (F.col("a.sig0") == F.col("b.sig0"))
+        & (F.col("a.sig1") == F.col("b.sig1"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+
+@q("dedup_ngram_jaccard", """
+WITH words AS (
+  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+  FROM words a JOIN words b
+    ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(ninter / (sa.n + sb.n - ninter), 4) AS jacc
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ninter / (sa.n + sb.n - ninter) >= 0.8
+""")
+def _dedup_jaccard(spark, sf_dir):
+    """Word-set Jaccard near-dup over (lang, source)-blocked pairs."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    ).distinct()
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = words.alias("a"), words.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jacc = F.col("ninter") / (F.col("sa.n") + F.col("sb.n") - F.col("ninter"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jacc >= 0.8)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jacc"))
+    )
+
+
+# hex chars with nibble-bit b set, for b = 0..3
+_BIT_CHARS = {
+    0: "13579bdf",
+    1: "2367abef",
+    2: "4567cdef",
+    3: "89abcdef",
+}
+
+
+def _simhash_sql_duck() -> str:
+    terms = []
+    for b in range(8):
+        char_pos = 1 + (1 - b // 4)  # bit>=4 -> hex digit 1, else digit 2
+        chars = ", ".join(f"'{c}'" for c in _BIT_CHARS[b % 4])
+        terms.append(
+            f"(CASE WHEN sum(CASE WHEN substr(md5(word), {char_pos}, 1) IN ({chars}) "
+            f"THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    bits = " + ".join(terms)
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+FROM words GROUP BY doc_id
+"""
+
+
+@q("dedup_simhash", _simhash_sql_duck())
+def _dedup_simhash(spark, sf_dir):
+    """8-bit SimHash over distinct words (bit votes from md5 hex nibbles)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    ).distinct()
+    h = F.md5(F.col("word").cast("binary"))
+    bits = None
+    for b in range(8):
+        char_pos = 1 + (1 - b // 4)
+        chars = list(_BIT_CHARS[b % 4])
+        vote = F.sum(
+            F.when(F.substring(h, char_pos, 1).isin(chars), 1).otherwise(-1)
+        )
+        term = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return words.groupBy("doc_id").agg(bits.cast("bigint").alias("simhash"))
+
+
+@q("ann_cosine_topk", """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         ROUND(CAST(list_cosine_similarity(embedding, (SELECT qe FROM q)) AS DOUBLE), 3) AS sim
+  FROM embeddings WHERE vec_id <> 0
+)
+SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+""")
+def _ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a fixed query vector (vec_id 0)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qarr = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qarr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    sim = F.round(dot / (norm(F.col("embedding")) * norm(qarr)), 3)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _hyperplane(dim: int, j: int) -> list[int]:
+    return [((i * 37 + j * 101) % 21) - 10 for i in range(dim)]
+
+
+@q("ann_lsh_buckets", None)  # oracle registered below (needs embedding dim)
+def _ann_lsh(spark, sf_dir):
+    """LSH bucketing for ANN: sign bits against 4 integer hyperplanes ->
+    16-bucket histogram (the scale path: per-bucket brute force)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    bucket = None
+    for j in range(4):
+        h = F.array(*[F.lit(v) for v in _hyperplane(dim, j)])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), h, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return e.groupBy(bucket.cast("int").alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def ann_lsh_oracle(dim: int) -> str:
+    terms = []
+    for j in range(4):
+        h = _hyperplane(dim, j)
+        arr = "[" + ", ".join(str(v) for v in h) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(embedding, {arr}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2])) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bits = " + ".join(terms)
+    return f"""
+SELECT CAST({bits} AS INTEGER) AS bucket, count(*) AS n
+FROM embeddings GROUP BY 1
+"""
+
+
+# the driver testdata embeddings are 64-dimensional (TESTDATA.md tables)
+ORACLE_SQL["ann_lsh_buckets"] = ann_lsh_oracle(64)
+
+_STOP = ("the", "a", "of", "in", "and")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOP)
+
+
+@q("text_quality", f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')), 3) AS avg_word_len,
+       ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+             / len(string_split(text, ' ')), 3) AS stop_ratio
+FROM documents
+""")
+def _text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    avg_len = F.round(F.length(F.replace("text", F.lit(" "), F.lit(""))).cast("double") / n, 3)
+    stop = F.size(F.filter(ws, lambda w: w.isin(*_STOP)))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        avg_len.alias("avg_word_len"),
+        F.round(stop.cast("double") / n, 3).alias("stop_ratio"),
+    )
+
+
+@q("lang_id", """
+SELECT doc_id,
+       CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a','and'))) >
+                 len(list_filter(string_split(text,' '), w -> w IN ('el','la','los')))
+            THEN 'en'
+            WHEN len(list_filter(string_split(text,' '), w -> w IN ('el','la','los'))) > 0
+            THEN 'es' ELSE 'und' END AS predicted_lang
+FROM documents
+""")
+def _lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    en = F.size(F.filter(ws, lambda w: w.isin("the", "a", "and")))
+    es = F.size(F.filter(ws, lambda w: w.isin("el", "la", "los")))
+    pred = F.when(en > es, "en").when(es > 0, "es").otherwise("und")
+    return d.select("doc_id", pred.alias("predicted_lang"))
+
+
+@q("doc_fingerprint", """
+SELECT doc_id, md5(lower(text)) AS fp, length(text) AS n_chars_text
+FROM documents
+""")
+def _doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower("text").cast("binary")).alias("fp"),
+        F.length("text").alias("n_chars_text"),
+    )
+
+
+@q("token_count", """
+SELECT source, sum(len(string_split(text, ' '))) AS total_tokens, count(*) AS n_docs
+FROM documents GROUP BY source
+""")
+def _token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The symbolication pipeline itself over the synthetic transcript table.
+# The transcripts are deterministic (seeded md5 datagen) but not part of the
+# DuckDB-registered views, so these are rows-only checks (no oracle) — the
+# byte-exact pipeline goldens live in tests/test_pipeline.py.
+# ---------------------------------------------------------------------------
+
+_SF_TURNS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+
+
+def transcripts_dir(sf_dir: str) -> str:
+    """Generate (once) and return the synthetic transcript dataset matching
+    the scale of the given testdata dir."""
+    from symspark.sources.datagen import write_all
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    n = _SF_TURNS.get(sf, 6_000)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "data", sf)
+    out = os.path.normpath(out)
+    write_all(out, n_turns=n)
+    return out
+
+
+def _run_enriched(spark, sf_dir):
+    from symspark.pipeline import load_lookups, run_pipeline
+
+    d = transcripts_dir(sf_dir)
+    transcripts = spark.read.parquet(os.path.join(d, "transcripts.parquet"))
+    return run_pipeline(transcripts, load_lookups(spark, d))
+
+
+@q("pipeline_sink_counts", None)
+def _pipeline_sink_counts(spark, sf_dir):
+    """Full parse->enrich->route->aggregate run; per-sink counters (A1-A3)."""
+    from symspark.pipeline import sink_aggregates
+
+    return sink_aggregates(_run_enriched(spark, sf_dir))
+
+
+@q("pipeline_routed_rows", None)
+def _pipeline_routed_rows(spark, sf_dir):
+    """Routed-row identity per sink (routed-row set equality check)."""
+    return _run_enriched(spark, sf_dir).select("conv_id", "turn_idx", "sink")
+
+
+@q("pipeline_text_hashes", None)
+def _pipeline_text_hashes(spark, sf_dir):
+    """Per-turn symbolicated-text bytes (md5) under stable (conv_id, turn_idx)."""
+    return (
+        _run_enriched(spark, sf_dir)
+        .filter(F.col("sink") != "skip")
+        .select("conv_id", "turn_idx", F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("text_md5"))
+    )

@@ -1,0 +1,65 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+in Spark AND its oracle_sql() in DuckDB on the same parquet tables, compare
+row count, column names, and order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SYMSPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entrymod.Q.TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    rel = duck.sql(ORACLES[name])
+    dcols = rel.columns
+    drows = rel.fetchall()
+
+    assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols), (
+        f"{name}: column mismatch {scols} vs {dcols}"
+    )
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    s = _rowset([c.lower() for c in scols], [tuple(r) for r in srows])
+    d = _rowset([c.lower() for c in dcols], drows)
+    assert s == d, f"{name}: value mismatch\nspark: {s[:5]}\nduck:  {d[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
