@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "end-to-end turns/sec (parse->enrich->route->aggregate)",
+     "value": N, "unit": "turns/sec", "queries": {...}, "sf": ...}
+
+``--scaling`` mode (north-rule evidence): re-runs the pipeline benchmark in
+subprocesses at two parallelism levels (local[8] and local[32] — cores
+stand in for executors in-sandbox) on the SAME input and reports
+throughput at both plus scaling efficiency tput(4N) / (4 * tput(N)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+# catalog queries timed alongside the pipeline
+BENCH_QUERIES = [
+    "tpch_q1",
+    "broadcast_enrich",
+    "multi_join_region_revenue",
+    "asof_join",
+    "window_hourly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "text_quality",
+]
+
+
+def _force(df) -> int:
+    """Fully materialize a DataFrame without driver-side collection."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from symspark.plans import queries as Q
+    from symspark.pipeline import load_lookups, run_pipeline, sink_aggregates
+    from symspark.session import get_spark
+
+    spark = get_spark(app_name="symspark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    tdir = Q.transcripts_dir(sf_dir)
+    transcripts = spark.read.parquet(os.path.join(tdir, "transcripts.parquet"))
+    lookups = load_lookups(spark, tdir)
+    n_turns = transcripts.count()
+
+    # warm-up: JIT + python worker pool on a slice
+    run_pipeline(transcripts.limit(2000), lookups).write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    enriched = run_pipeline(transcripts, lookups)
+    enriched.write.format("noop").mode("overwrite").save()
+    pipeline_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    aggs = sink_aggregates(run_pipeline(transcripts, lookups)).collect()
+    agg_sec = time.perf_counter() - t0
+
+    qtimes = {"pipeline_enrich": round(pipeline_sec, 3), "pipeline_aggregate": round(agg_sec, 3)}
+    for name in BENCH_QUERIES:
+        fn = Q.SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "end-to-end turns/sec (parse->enrich->route->aggregate)",
+        "value": round(n_turns / pipeline_sec, 1),
+        "unit": "turns/sec",
+        "queries": qtimes,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "n_turns": n_turns,
+        "cpus": cpus,
+        "sinks": {r["sink"]: r["rows"] for r in aggs},
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["value"], results[32]["value"]
+    return {
+        "metric": "throughput scaling efficiency N->4N (local[8] vs local[32])",
+        "tput_8": t8,
+        "tput_32": t32,
+        "efficiency": round(t32 / (4 * t8), 3),
+        "runs": results,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_bench(SF_DIR, CPUS)))

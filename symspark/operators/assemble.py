@@ -1,12 +1,13 @@
 """Regroup + record assembly (SURVEY.md §2.5 M3-M12, §2.6).
 
 Frame outcomes regroup per (conv_id, turn_idx) into a pos-sorted struct
-array; all record-level semantics — headers, text reassembly, failure
-flags, counter totals, preserve-originals, stamps — are JVM expressions
-over that array, so nothing here leaves whole-stage codegen.
+array (record payload rides along via ``first``); ALL record-level
+semantics — the dSYM negative-cache quirks, headers, text reassembly,
+failure flags, counter totals, preserve-originals, stamps — are JVM
+expressions over that array.  The whole pipeline therefore has exactly one
+exchange (the regroup) and stays inside whole-stage codegen.
 
-The two dSYM negative-cache quirks are window functions over the already
-conv/turn-clustered frames (no extra shuffle, just an in-partition sort):
+Reference quirks mirrored as array transforms (tests pin them):
 - apple: a missing dSYM passes through the FIRST frame per (record, uuid)
   without failure, but every LATER frame of that uuid gets the cached
   FetchError and marks the record failed
@@ -18,98 +19,99 @@ conv/turn-clustered frames (no extra shuffle, just an in-partition sort):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from symspark.config import PipelineConfig
 
 ERR_PARTIAL = "symbolication failed for some stack frames"  # errPartialSymbolication
 
-_OUT = "out"  # coalesced outcome struct column
+# frame fields produced by the parse/explode stage (schemas.FRAME_SCHEMA)
+_FRAME_FIELDS = [
+    "pos", "stack_idx", "kind", "url", "func", "line", "col", "cls", "method",
+    "src", "raw", "prefix", "lib", "tok", "addr", "bin", "buuid",
+]
+
+_EF_FIELDS = [
+    "pos", "stack_idx", "kind", "chunk", "f_failed", "f_err", "miss_uuid",
+    "miss_err", "proc_inc", "fail_inc", "fetch_key",
+    "m_col", "m_func", "m_line", "m_url", "m_jvm",
+]
 
 
 def coalesce_outcomes(frames: DataFrame) -> DataFrame:
-    """Merge per-operator outcome structs into one and apply the
-    negative-cache quirk windows."""
-    df = frames.withColumn(
-        _OUT, F.coalesce(F.col("js_out"), F.col("jvm_out"), F.col("apple_out"), F.col("mk_out"))
+    """Merge the per-operator outcome structs into one ``out`` column."""
+    return frames.withColumn(
+        "out", F.coalesce(F.col("js_out"), F.col("jvm_out"), F.col("apple_out"), F.col("mk_out"))
     ).drop("js_out", "jvm_out", "apple_out", "mk_out")
-
-    o = F.col(_OUT)
-    # rank of store-miss frames within (record, uuid), in frame order
-    w_uuid = W.partitionBy("conv_id", "turn_idx", F.coalesce(o["miss_uuid"], F.lit(""))).orderBy("pos")
-    rn = F.row_number().over(w_uuid)
-    later_miss = o["miss_uuid"].isNotNull() & (rn > 1)
-
-    is_apple = F.col("kind") == "apple"
-    is_mk = F.col("kind") == "mk"
-
-    def patch(**fields: Column) -> Column:
-        cols = []
-        for f in ["chunk", "f_failed", "proc_inc", "fail_inc", "fetch_key", "f_err",
-                  "miss_uuid", "miss_err", "m_col", "m_func", "m_line", "m_url", "m_jvm"]:
-            cols.append((fields[f] if f in fields else o[f]).alias(f))
-        return F.struct(*cols)
-
-    df = df.withColumn(
-        _OUT,
-        F.when(
-            later_miss & is_apple,  # cached FetchError -> line kept, record failed
-            patch(f_failed=F.lit(True), proc_inc=F.lit(0), fail_inc=F.lit(0), fetch_key=F.lit(None).cast("string")),
-        )
-        .when(
-            later_miss & is_mk,  # cached FetchError -> record abort at this frame
-            patch(
-                f_err=o["miss_err"], chunk=F.lit(None).cast("string"),
-                f_failed=F.lit(True), proc_inc=F.lit(0), fail_inc=F.lit(0),
-                fetch_key=F.lit(None).cast("string"),
-            ),
-        )
-        .otherwise(o),
-    )
-
-    # MetricKit abort position: first erroring frame in the record
-    o = F.col(_OUT)
-    w_rec = W.partitionBy("conv_id", "turn_idx")
-    abort_pos = F.min(F.when(is_mk & o["f_err"].isNotNull(), F.col("pos"))).over(w_rec)
-    past_abort = is_mk & abort_pos.isNotNull() & (F.col("pos") > abort_pos)
-    df = df.withColumn(
-        _OUT,
-        F.when(
-            past_abort,  # loop never reached these frames
-            patch(
-                proc_inc=F.lit(0), fail_inc=F.lit(0),
-                fetch_key=F.lit(None).cast("string"), f_err=F.lit(None).cast("string"),
-            ),
-        ).otherwise(o),
-    )
-    return df
 
 
 def regroup(frames: DataFrame) -> DataFrame:
-    """Collect enriched frames back into per-record sorted arrays plus
-    counter totals (A1-A3, SURVEY.md §2.6)."""
-    o = F.col(_OUT)
-    ef = F.struct(
-        F.col("pos").alias("pos"),
-        F.col("stack_idx").alias("stack_idx"),
-        F.col("kind").alias("kind"),
-        o["chunk"].alias("chunk"),
-        o["f_failed"].alias("f_failed"),
-        o["f_err"].alias("f_err"),
-        o["m_col"].alias("m_col"),
-        o["m_func"].alias("m_func"),
-        o["m_line"].alias("m_line"),
-        o["m_url"].alias("m_url"),
-        o["m_jvm"].alias("m_jvm"),
-    )
-    return frames.groupBy("conv_id", "turn_idx").agg(
-        F.sort_array(F.collect_list(ef)).alias("efs"),
-        F.sum(o["proc_inc"]).alias("agg_processed"),
-        F.sum(o["fail_inc"]).alias("agg_failed"),
-        F.count_distinct(o["fetch_key"]).alias("agg_fetch_failures"),
-        F.max(F.coalesce(o["f_failed"], F.lit(False))).alias("agg_any_failed"),
-        F.first(o["f_err"], ignorenulls=True).alias("agg_first_err"),
-    )
+    """Collect enriched frames back into per-record pos-sorted arrays; the
+    record payload columns ride along via ``first`` (identical within a
+    group).  Null-frame rows (skip / no frames) collect to an empty array."""
+    o = F.col("out")
+    ef_cols = [F.col("pos").alias("pos"), F.col("stack_idx").alias("stack_idx"),
+               F.col("kind").alias("kind")]
+    ef_cols += [o[f].alias(f) for f in _EF_FIELDS if f not in ("pos", "stack_idx", "kind")]
+    ef = F.when(F.col("pos").isNotNull(), F.struct(*ef_cols))
+
+    record_cols = [
+        c for c in frames.columns
+        if c not in _FRAME_FIELDS and c != "out"
+        and c not in ("conv_id", "turn_idx")
+    ]
+    aggs = [F.first(c).alias(c) for c in record_cols]
+    aggs.append(F.sort_array(F.collect_list(ef)).alias("efs"))
+    return frames.groupBy("conv_id", "turn_idx").agg(*aggs)
+
+
+def _patched_frames(efs: Column) -> Column:
+    """Apply the dSYM negative-cache quirks as pure array transforms."""
+
+    def rebuild(x: Column, **patch: Column) -> Column:
+        return F.struct(
+            *[(patch[f] if f in patch else x[f]).alias(f) for f in _EF_FIELDS]
+        )
+
+    # pass 1: later frames of an already-missed uuid hit the cached FetchError
+    def later_miss_patch(x: Column, i: Column) -> Column:
+        seen_before = F.exists(
+            F.slice(efs, F.lit(1), i),
+            lambda y: y["miss_uuid"].isNotNull() & (y["miss_uuid"] == x["miss_uuid"]),
+        )
+        hit = x["miss_uuid"].isNotNull() & seen_before
+        apple = rebuild(
+            x, f_failed=F.lit(True), proc_inc=F.lit(0), fail_inc=F.lit(0),
+            fetch_key=F.lit(None).cast("string"),
+        )
+        mk = rebuild(
+            x, f_err=x["miss_err"], chunk=F.lit(None).cast("string"),
+            f_failed=F.lit(True), proc_inc=F.lit(0), fail_inc=F.lit(0),
+            fetch_key=F.lit(None).cast("string"),
+        )
+        return (
+            F.when(hit & (x["kind"] == "apple"), apple)
+            .when(hit & (x["kind"] == "mk"), mk)
+            .otherwise(x)
+        )
+
+    efs1 = F.transform(efs, later_miss_patch)
+
+    # pass 2: MetricKit aborts at the first erroring frame — later frames are
+    # never reached (no counters, no fetches, no error text)
+    abort = F.try_element_at(F.filter(efs1, lambda x: x["f_err"].isNotNull()), F.lit(1))
+
+    def post_abort_patch(x: Column) -> Column:
+        past = abort.isNotNull() & (x["pos"] > abort["pos"]) & x["kind"].startswith("mk")
+        return F.when(
+            past,
+            rebuild(
+                x, proc_inc=F.lit(0), fail_inc=F.lit(0),
+                fetch_key=F.lit(None).cast("string"), f_err=F.lit(None).cast("string"),
+            ),
+        ).otherwise(x)
+
+    return F.transform(efs1, post_abort_patch)
 
 
 def _mk_text(efs: Column) -> Column:
@@ -125,7 +127,7 @@ def _mk_text(efs: Column) -> Column:
                 F.when(acc["si"] == -1, F.lit(""))
                 .when(x["stack_idx"] != acc["si"], F.lit("\n\n\n"))
                 .otherwise(F.lit("\n    ")),
-                x["chunk"],
+                F.coalesce(x["chunk"], F.lit("")),
             ).alias("t"),
             x["stack_idx"].alias("si"),
         ),
@@ -133,9 +135,15 @@ def _mk_text(efs: Column) -> Column:
     )
 
 
-def assemble_records(parsed_df: DataFrame, grouped: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Join frame aggregates back and build the final record columns."""
-    df = parsed_df.join(grouped, ["conv_id", "turn_idx"], "left")
+def _isum(efs: Column, field: str) -> Column:
+    return F.aggregate(
+        efs, F.lit(0), lambda acc, x: acc + F.coalesce(x[field], F.lit(0))
+    ).cast("long")
+
+
+def assemble_records(grouped: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Build the final record columns from the regrouped frame arrays."""
+    df = grouped.withColumn("efs", _patched_frames(F.col("efs")))
 
     route = F.col(cfg.route_col)
     is_js = route.isin("js", "js_structured")
@@ -145,34 +153,36 @@ def assemble_records(parsed_df: DataFrame, grouped: DataFrame, cfg: PipelineConf
     processed = route != "skip"
     text = F.col("text")
     efs = F.col("efs")
-    p = F.col("parsed")
 
     # --- record-level pre-frame errors ---
     missing = "missing attribute: %s"
     pre_err = (
         F.when(is_jvm & F.col(cfg.proguard_uuid_col).isNull(),
                F.lit(missing % "app.debug.proguard_uuid"))  # log_processor.go:117-124
-        .when(is_jvm | is_js, p["error"])  # parse error / mismatched lengths
+        .when(is_jvm | is_js, F.col("p_error"))  # parse error / mismatched lengths
         .when((route == "apple") & F.col(cfg.build_uuid_col).isNull(),
               F.lit(missing % "app.debug.build_uuid"))  # logs_processor.go:169-171
         .when((route == "apple") & F.col(cfg.app_executable_col).isNull(),
               F.lit(missing % "app.bundle.executable"))  # logs_processor.go:174-176
-        .when(route == "mk", p["error"])  # invalid MetricKit JSON
+        .when(route == "mk", F.col("p_error"))  # invalid MetricKit JSON
     )
 
-    any_failed = F.coalesce(F.col("agg_any_failed"), F.lit(False))
-    mk_abort = (route == "mk") & F.col("agg_first_err").isNotNull()
+    any_failed = F.exists(efs, lambda x: F.coalesce(x["f_failed"], F.lit(False)))
+    first_err = F.try_element_at(
+        F.filter(efs, lambda x: x["f_err"].isNotNull()), F.lit(1)
+    )["f_err"]
+    mk_abort = (route == "mk") & first_err.isNotNull()
     failed_out = F.when(processed, pre_err.isNotNull() | any_failed | mk_abort)
     error_out = F.when(
         processed,
-        F.coalesce(pre_err, F.when(mk_abort, F.col("agg_first_err")),
+        F.coalesce(pre_err, F.when(mk_abort, first_err),
                    F.when(any_failed, F.lit(ERR_PARTIAL))),
     )
 
     # --- text reassembly ---
     body = F.array_join(F.transform(efs, lambda x: x["chunk"]), "\n")
     header = F.when(
-        parsed_route, F.format_string("%s: %s", p["name"], p["message"])  # M3, processor.go:234-236
+        parsed_route, F.format_string("%s: %s", F.col("p_name"), F.col("p_message"))  # M3
     ).when(
         structured_route
         & F.col(cfg.exception_type_col).isNotNull()
@@ -189,7 +199,7 @@ def assemble_records(parsed_df: DataFrame, grouped: DataFrame, cfg: PipelineConf
         F.when(~processed | pre_err.isNotNull() | mk_abort, text)
         .when(is_js | is_jvm, js_jvm_text)
         .when(route == "apple", body)
-        .when(route == "mk", _mk_text(efs))
+        .when(route == "mk", F.coalesce(_mk_text(efs), F.lit("")))
     )
 
     # --- preserve originals (M9) ---
@@ -205,23 +215,28 @@ def assemble_records(parsed_df: DataFrame, grouped: DataFrame, cfg: PipelineConf
 
     empty_l, empty_s = F.array().cast("array<bigint>"), F.array().cast("array<string>")
     js_ok = (route == "js_structured") & pre_err.isNull()
-    js_mismatch = (route == "js_structured") & p["error"].isNotNull()
+    js_mismatch = (route == "js_structured") & F.col("p_error").isNotNull()
     jvm_ok = (route == "jvm_structured") & pre_err.isNull()
     # the reference empties the arrays before the mismatch check
-    # (processor.go:254-267, log_processor.go:192-204)
-    jvm_mismatch = (route == "jvm_structured") & p["error"].isNotNull() & F.col(cfg.proguard_uuid_col).isNotNull()
+    # (processor.go:254-267, log_processor.go:192-204); proguard checks the
+    # uuid first, so a missing uuid leaves the arrays untouched
+    jvm_mismatch = (
+        (route == "jvm_structured")
+        & F.col("p_error").isNotNull()
+        & F.col(cfg.proguard_uuid_col).isNotNull()
+    )
 
     jvm_flat = F.flatten(F.filter(F.transform(efs, lambda x: x["m_jvm"]), lambda a: a.isNotNull()))
 
     out_cols = {
         "text": text_out,
         cfg.exception_type_col: (
-            F.when(parsed_route & pre_err.isNull(), p["name"])
+            F.when(parsed_route & pre_err.isNull(), F.col("p_name"))
             .when(mk_success, F.lit("Unknown Error"))  # M12 fallback
             .otherwise(F.col(cfg.exception_type_col))
         ),
         cfg.exception_message_col: (
-            F.when(parsed_route & pre_err.isNull(), p["message"])
+            F.when(parsed_route & pre_err.isNull(), F.col("p_message"))
             .when(mk_success, F.lit("Unknown Error"))
             .otherwise(F.col(cfg.exception_message_col))
         ),
@@ -268,20 +283,27 @@ def assemble_records(parsed_df: DataFrame, grouped: DataFrame, cfg: PipelineConf
         ),
         cfg.failed_col: failed_out,
         cfg.error_col: error_out,
-        "frames_processed": F.when(processed & pre_err.isNull(), F.coalesce(F.col("agg_processed"), F.lit(0))).otherwise(
+        "frames_processed": F.when(processed & pre_err.isNull(), _isum(efs, "proc_inc")).otherwise(
             F.when(processed, F.lit(0))
         ),
-        "frames_failed": F.when(processed & pre_err.isNull(), F.coalesce(F.col("agg_failed"), F.lit(0))).otherwise(
+        "frames_failed": F.when(processed & pre_err.isNull(), _isum(efs, "fail_inc")).otherwise(
             F.when(processed, F.lit(0))
         ),
-        "fetch_failures": F.when(processed & pre_err.isNull(), F.coalesce(F.col("agg_fetch_failures"), F.lit(0))).otherwise(
-            F.when(processed, F.lit(0))
+        "fetch_failures": F.when(
+            processed & pre_err.isNull(),
+            F.size(
+                F.array_distinct(
+                    F.filter(F.transform(efs, lambda x: x["fetch_key"]), lambda k: k.isNotNull())
+                )
+            ).cast("long"),
+        ).otherwise(F.when(processed, F.lit(0))),
+        "outcome": F.when(~processed, F.lit("skip")).otherwise(
+            F.when(failed_out, F.lit("failed")).otherwise(F.lit("ok"))
         ),
         cfg.sink_col: F.when(~processed, F.lit("skip")).otherwise(
             F.concat(route, F.lit("/"), F.when(failed_out, F.lit("failed")).otherwise(F.lit("ok")))
         ),
     }
     return df.withColumns(out_cols).drop(
-        "parsed", "efs", "agg_processed", "agg_failed", "agg_fetch_failures",
-        "agg_any_failed", "agg_first_err",
+        "efs", "p_name", "p_message", "p_mode", "p_error"
     )

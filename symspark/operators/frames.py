@@ -123,24 +123,21 @@ def attach_parsed(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.withColumn("parsed", parsed)
 
 
-# Narrow record-side columns every enrichment needs at frame level.
-FRAME_CARRY_COLS = [
-    "conv_id",
-    "turn_idx",
-    "route",
-    "source_map_uuid",
-    "build_uuid",
-    "app_executable",
-    "proguard_uuid",
-]
-
-
 def explode_frames(parsed_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Explode the unified frames array (record payload stays behind; the
-    enriched frames regroup on (conv_id, turn_idx) and join back)."""
-    has_frames = F.col("parsed").isNotNull() & (F.size("parsed.frames") > 0)
-    return (
-        parsed_df.where(has_frames)
-        .select(*FRAME_CARRY_COLS, F.explode("parsed.frames").alias("fr"))
-        .select(*FRAME_CARRY_COLS, "fr.*")
+    """OUTER-explode the unified frames array, carrying the record payload
+    along (linear plan: one scan, one parse, one downstream shuffle — the
+    regroup).  Rows without frames (skip / parse-error / empty) survive as
+    a single null-frame row, so no second branch re-reads the input."""
+    parsed = F.col("parsed")
+    df = parsed_df.withColumns(
+        {
+            "p_name": parsed["name"],
+            "p_message": parsed["message"],
+            "p_mode": parsed["mode"],
+            "p_error": parsed["error"],
+        }
     )
+    record_cols = [c for c in df.columns if c != "parsed"]
+    return df.select(
+        *record_cols, F.explode_outer("parsed.frames").alias("fr")
+    ).select(*record_cols, "fr.*")

@@ -66,23 +66,23 @@ def run_pipeline(
     transcripts: DataFrame,
     lookups: Lookups,
     cfg: PipelineConfig = DEFAULT_CONFIG,
-    repartition: bool = True,
 ) -> DataFrame:
     """Return the enriched record-level DataFrame (one row per input turn,
-    stable under (conv_id, turn_idx) ordering)."""
+    stable under (conv_id, turn_idx) ordering).
+
+    Linear physical plan: scan -> route exprs -> ONE vectorized parse UDF ->
+    outer-explode (payload rides along) -> six broadcast hash joins ->
+    outcome exprs -> ONE exchange (the regroup) -> record assembly exprs.
+    """
     df = route_op.gate_and_route(transcripts, cfg)
     df = frames_op.attach_parsed(df, cfg)
-    if repartition:
-        df = df.repartition("conv_id", "turn_idx")
-
     fr = frames_op.explode_frames(df, cfg)
     fr = sourcemap.enrich_js(fr, lookups.sourcemap_tokens, lookups.sourcemap_store, cfg)
     fr = proguard.enrich_jvm(fr, lookups.proguard_mapping, lookups.proguard_store, cfg)
     fr = dsym.enrich_apple(fr, lookups.dsym_symbols, lookups.dsym_store, cfg)
     fr = assemble.coalesce_outcomes(fr)
     grouped = assemble.regroup(fr)
-
-    return assemble.assemble_records(df, grouped, cfg)
+    return assemble.assemble_records(grouped, cfg)
 
 
 def sink_aggregates(enriched: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:

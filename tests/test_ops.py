@@ -1,0 +1,166 @@
+"""Tests for sinks/checkpointing, skew-safe rollups, parity harness,
+streaming, and multimodal plumbing."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from symspark import sinks
+from symspark.operators import parity, skew
+from symspark.pipeline import load_lookups, run_pipeline, sink_aggregates
+
+
+@pytest.fixture(scope="module")
+def enriched(spark, fixture_dir):
+    t = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    return run_pipeline(t, load_lookups(spark, fixture_dir)).persist()
+
+
+def test_fanout_write_and_pruned_read(spark, enriched, tmp_path):
+    base = str(tmp_path / "out")
+    sinks.write_fanout(enriched, base)
+    ok = sinks.read_sink(spark, base, "js", "ok")
+    expected = enriched.where("sink = 'js/ok'").count()
+    assert ok.count() == expected
+    # partition layout exists on disk
+    assert any(p.startswith("route=") for p in os.listdir(os.path.join(base, "sinks")))
+
+
+def test_checkpointed_run_resumes(spark, fixture_dir, tmp_path):
+    t = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    lookups = load_lookups(spark, fixture_dir)
+    base = str(tmp_path / "ckpt")
+
+    r1 = sinks.run_checkpointed(spark, t, lookups, base, n_buckets=4, input_lineage="fixtures")
+    assert r1["buckets_run"] == 4 and r1["buckets_skipped"] == 0
+    assert r1["rows"] == t.count()
+
+    # simulate a partial failure: drop two manifests, re-run -> only those re-run
+    ms = sorted(os.listdir(os.path.join(base, "_manifests")))
+    assert len(ms) == 4
+    for m in ms[:2]:
+        os.remove(os.path.join(base, "_manifests", m))
+    r2 = sinks.run_checkpointed(spark, t, lookups, base, n_buckets=4)
+    assert r2["buckets_run"] == 2 and r2["buckets_skipped"] == 2
+
+    totals = sinks.aggregate_manifests(base)
+    assert sum(c["rows"] for c in totals.values()) == t.count()
+    with open(os.path.join(base, "_manifests", ms[2])) as f:
+        manifest = json.load(f)
+    assert manifest["lineage"]["input"] == "fixtures"
+
+
+def test_conversation_rollup_matches_plain_agg(enriched):
+    salted = {r["conv_id"]: r.asDict() for r in skew.conversation_rollup(enriched).collect()}
+    plain = {
+        r["conv_id"]: r.asDict()
+        for r in enriched.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("exception_symbolicator_failed"), 1).otherwise(0)).alias("n_failed"),
+        )
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for cid, p in plain.items():
+        assert salted[cid]["n_turns"] == p["n_turns"]
+        assert salted[cid]["n_failed"] == p["n_failed"]
+
+
+def test_parity_harness(spark):
+    from symspark.schemas import TRANSCRIPTS_SCHEMA
+    from tests.test_pipeline import row
+
+    APP = "https://cdn.example.com/assets/app.js"
+    rows = [
+        # consistent: arrays match what the parser extracts
+        row("p1", language="javascript", exception_type="E", exception_message="m",
+            text=f"E: m\n    at f1 ({APP}:10:15)",
+            st_columns=[15], st_functions=["f1"], st_lines=[10], st_urls=[APP]),
+        # different: structured line deviates
+        row("p2", language="javascript", exception_type="E", exception_message="m",
+            text=f"E: m\n    at f1 ({APP}:10:15)",
+            st_columns=[15], st_functions=["f1"], st_lines=[99], st_urls=[APP]),
+        # parser failed
+        row("p3", language="javascript",
+            text="not a stack trace at all",
+            st_columns=[1], st_functions=["f"], st_lines=[1], st_urls=[APP]),
+        # not applicable: no structured arrays
+        row("p4", language="javascript", text=f"E: m\n    at f1 ({APP}:10:15)"),
+    ]
+    df = parity.add_parity_columns(spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA))
+    got = {r["conv_id"]: r for r in df.collect()}
+    assert got["p1"]["parity_status"] == parity.STATUS_BOTH_MATCH
+    assert got["p1"]["parity_mismatch_count"] == 0
+    assert got["p1"]["parity_frame_verdicts"] == ["consistent"]
+    assert got["p2"]["parity_status"] == parity.STATUS_MISMATCH
+    assert got["p2"]["parity_frame_verdicts"] == ["different"]
+    assert got["p3"]["parity_status"] == parity.STATUS_PARSER_FAILED
+    assert got["p4"]["parity_status"] == parity.STATUS_NOT_APPLICABLE
+    report = {r["parity_status"]: r["rows"] for r in parity.parity_report(df).collect()}
+    assert report == {"match": 1, "mismatch": 1, "parser_failed": 1, "not_applicable": 1}
+
+
+@pytest.fixture(scope="module")
+def stream_input(fixture_dir, tmp_path_factory):
+    # file-stream sources need a DIRECTORY of files
+    d = tmp_path_factory.mktemp("stream_in")
+    os.link(
+        os.path.join(fixture_dir, "transcripts.parquet"),
+        os.path.join(d, "part-000.parquet"),
+    )
+    return str(d)
+
+
+def test_streaming_foreachbatch(spark, fixture_dir, stream_input, tmp_path):
+    from symspark.streaming.stream import run_streaming
+
+    lookups = load_lookups(spark, fixture_dir)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    q = run_streaming(spark, stream_input, lookups, out, ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(os.path.join(out, "sinks"))
+    t = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    assert got.count() == t.count()
+    # restart with no new data: nothing duplicated (exactly-once via checkpoint)
+    q2 = run_streaming(spark, stream_input, lookups, out, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(os.path.join(out, "sinks")).count() == t.count()
+
+
+def test_streaming_windowed_metrics(spark, stream_input, tmp_path):
+    from symspark.streaming.stream import streaming_sink_metrics
+
+    agg = streaming_sink_metrics(spark, stream_input)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sink_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "m_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    # watermark append-mode emits closed windows; with availableNow over a
+    # static file the final watermark closes them
+    rows = spark.sql("select * from sink_metrics").collect()
+    assert {"window_start", "route", "n"} <= set(spark.table("sink_metrics").columns)
+    assert all(r["n"] > 0 for r in rows)
+
+
+def test_multimodal_features(spark):
+    from symspark import multimodal
+
+    media = multimodal.gen_media(spark, 30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["decode_ok"] is True
+    assert len(by_id[0]["feature"]) == multimodal.FEATURE_DIM
+    # deterministic across runs
+    again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert again[5]["feature"] == by_id[5]["feature"]
+    assert again[5]["sha1"] == by_id[5]["sha1"]
