@@ -65,16 +65,24 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # warm-up: JIT + python worker pool on a slice
     run_pipeline(transcripts.limit(2000), lookups).write.format("noop").mode("overwrite").save()
 
-    t0 = time.perf_counter()
+    # the sandbox host shows heavy CPU steal; use the median of 3 runs
+    runs = []
     enriched = run_pipeline(transcripts, lookups)
-    enriched.write.format("noop").mode("overwrite").save()
-    pipeline_sec = time.perf_counter() - t0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        enriched.write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    pipeline_sec = sorted(runs)[1]
 
     t0 = time.perf_counter()
     aggs = sink_aggregates(run_pipeline(transcripts, lookups)).collect()
     agg_sec = time.perf_counter() - t0
 
-    qtimes = {"pipeline_enrich": round(pipeline_sec, 3), "pipeline_aggregate": round(agg_sec, 3)}
+    qtimes = {
+        "pipeline_enrich": round(pipeline_sec, 3),
+        "pipeline_enrich_runs": [round(r, 3) for r in runs],
+        "pipeline_aggregate": round(agg_sec, 3),
+    }
     for name in BENCH_QUERIES:
         fn = Q.SPARK_QUERIES[name]
         t0 = time.perf_counter()

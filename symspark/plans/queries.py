@@ -670,3 +670,30 @@ def _pipeline_text_hashes(spark, sf_dir):
         .filter(F.col("sink") != "skip")
         .select("conv_id", "turn_idx", F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("text_md5"))
     )
+
+
+@q("pipeline_conversation_rollup", None)
+def _pipeline_conversation_rollup(spark, sf_dir):
+    """Per-conversation rollup with salt-based skew mitigation (hot convs)."""
+    from symspark.operators.skew import conversation_rollup
+
+    return conversation_rollup(_run_enriched(spark, sf_dir))
+
+
+@q("pipeline_parity_report", None)
+def _pipeline_parity_report(spark, sf_dir):
+    """A/B parity: structured client arrays vs collector-side parse (M13)."""
+    from symspark.operators.parity import add_parity_columns, parity_report
+
+    d = transcripts_dir(sf_dir)
+    t = spark.read.parquet(os.path.join(d, "transcripts.parquet"))
+    return parity_report(add_parity_columns(t))
+
+
+@q("multimodal_features", None)
+def _multimodal_features(spark, sf_dir):
+    """Opaque-binary media columns -> Arrow-batched feature extraction
+    (decode stubbed; plumbing real)."""
+    from symspark.multimodal import extract_features, gen_media
+
+    return extract_features(gen_media(spark, 64)).drop("feature")

@@ -606,8 +606,15 @@ TABLES = {
 }
 
 
-def write_all(outdir: str, n_turns: int = 6000, force: bool = False) -> dict[str, str]:
-    """Write transcripts + lookup tables as parquet; skip if already present."""
+def write_all(
+    outdir: str, n_turns: int = 6000, force: bool = False, n_shards: int = 32
+) -> dict[str, str]:
+    """Write transcripts + lookup tables as parquet; skip if already present.
+
+    The transcript table is sharded into ``n_shards`` files (a directory,
+    like any real table) so Spark's scan — and therefore the parse stage —
+    parallelizes across cores regardless of file-split thresholds.
+    """
     os.makedirs(outdir, exist_ok=True)
     paths = {}
     for name, fn in TABLES.items():
@@ -616,7 +623,14 @@ def write_all(outdir: str, n_turns: int = 6000, force: bool = False) -> dict[str
             pq.write_table(fn(), path)
         paths[name] = path
     tpath = os.path.join(outdir, "transcripts.parquet")
-    if force or not os.path.exists(tpath):
-        pq.write_table(gen_transcripts(n_turns), tpath, row_group_size=64 * 1024)
+    if force or not os.path.isdir(tpath):
+        table = gen_transcripts(n_turns)
+        os.makedirs(tpath, exist_ok=True)
+        n = table.num_rows
+        step = max(1, (n + n_shards - 1) // n_shards)
+        for s, lo in enumerate(range(0, n, step)):
+            pq.write_table(
+                table.slice(lo, step), os.path.join(tpath, f"part-{s:05d}.parquet")
+            )
     paths["transcripts"] = tpath
     return paths
