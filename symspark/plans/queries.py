@@ -275,6 +275,47 @@ def _anti_join(spark, sf_dir):
     )
 
 
+@q("semi_join", """
+SELECT c_mktsegment, count(*) AS n_active
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""")
+def _semi_join(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@q("set_ops", """
+SELECT
+  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                         EXCEPT SELECT o_custkey FROM orders)) AS only_customers,
+  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                         INTERSECT SELECT o_custkey FROM orders)) AS both_sets
+""")
+def _set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    only = c.distinct().exceptAll(o.distinct()).count()
+    both = c.distinct().intersect(o.distinct()).count()
+    return c.sparkSession.createDataFrame(
+        [(only, both)], "only_customers bigint, both_sets bigint"
+    )
+
+
+@q("median_value", """
+SELECT event_type, quantile_cont(value, 0.5) AS median_v
+FROM events GROUP BY event_type
+""")
+def _median_value(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("median_v"))
+
+
 @q("rollup_counts", """
 SELECT l_returnflag, l_linestatus, count(*) AS n
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

@@ -624,6 +624,8 @@ def write_all(
         paths[name] = path
     tpath = os.path.join(outdir, "transcripts.parquet")
     if force or not os.path.isdir(tpath):
+        if os.path.isfile(tpath):  # stale single-file layout from older runs
+            os.remove(tpath)
         table = gen_transcripts(n_turns)
         os.makedirs(tpath, exist_ok=True)
         n = table.num_rows
