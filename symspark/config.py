@@ -88,6 +88,17 @@ class PipelineConfig:
     apple_processor_type: str = "dsym_symbolicator"  # dsymprocessor/factory.go:16
     apple_processor_version: str = "1.0.2"  # factory.go:20
 
+    # Reproduce the reference's *shipped* source-map lookup behavior: its
+    # symbolic-go boundary effectively swaps (line, column) when querying the
+    # map, clamping to the lexicographically-last token at-or-before
+    # generated position (column, line) — that is the only reading under
+    # which its own golden holds (symbolicator_test.go:41-44:
+    # Lookup(line=0, col=34) on test_assets/basic-mapping.js ->
+    # "    at bar(basic-mapping.js:8:1)", whereas the spec-orientation
+    # lookup of the same map yields token (line 4, col 10)).  False = spec
+    # orientation (the engine default); True = byte-match the reference.
+    sourcemap_reference_compat: bool = False
+
     # --- scale knobs ---
     shuffle_partitions: int = 32
     skew_salt_buckets: int = 16  # salt modulus for hot conv_id mitigation

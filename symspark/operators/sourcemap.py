@@ -48,8 +48,21 @@ def url_base_cols(url: Column) -> tuple[Column, Column, Column]:
     return base, query, url_base
 
 
-def build_sourcemap_dims(tokens: DataFrame, store: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Pre-aggregate the token table into per-line sorted token arrays."""
+def build_sourcemap_dims(
+    tokens: DataFrame, store: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Pre-aggregate the token table into per-line sorted token arrays plus a
+    per-file line summary.
+
+    Source-map lookup is lexicographic over (generated line, column): the
+    greatest token at-or-before the query, FALLING BACK ACROSS LINES.  The
+    per-line dim gives the fast equality path; ``sm_prev`` (last token of any
+    earlier line, via a window over the tiny dim) and the per-file
+    ``sm_lines`` summary cover the cross-line and missing-line fallbacks —
+    minified files have very few generated lines, so both structures stay
+    small."""
+    from pyspark.sql import Window as W
+
     toks_by_line = tokens.groupBy(
         F.col("url_base").alias("sm_url_base"),
         F.col("build_uuid").alias("sm_uuid"),
@@ -59,24 +72,51 @@ def build_sourcemap_dims(tokens: DataFrame, store: DataFrame) -> tuple[DataFrame
             F.collect_list(F.struct("min_col", "src_file", "src_line", "src_col", "func_name"))
         ).alias("sm_toks")
     )
+    w = (
+        W.partitionBy("sm_url_base", "sm_uuid")
+        .orderBy("sm_line")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    toks_by_line = toks_by_line.withColumn(
+        "sm_prev", F.last(F.try_element_at(F.col("sm_toks"), F.lit(-1))).over(w)
+    )
+    summary = toks_by_line.groupBy(
+        F.col("sm_url_base").alias("smu_url_base"), F.col("sm_uuid").alias("smu_uuid")
+    ).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("sm_line").alias("line"),
+                    F.try_element_at(F.col("sm_toks"), F.lit(-1)).alias("last_tok"),
+                )
+            )
+        ).alias("sm_lines")
+    )
     store_dim = store.select(
         F.col("url_base").alias("sms_url_base"),
         F.col("build_uuid").alias("sms_uuid"),
         F.col("error").alias("sms_err"),
         F.lit(True).alias("sms_hit"),
     )
-    return toks_by_line, store_dim
+    return toks_by_line, store_dim, summary
 
 
 def enrich_js(frames: DataFrame, tokens: DataFrame, store: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Broadcast-join enrichment for ``kind == 'js'`` frames; adds the
     ``js_out`` outcome-struct column (null for other kinds)."""
-    toks_by_line, store_dim = build_sourcemap_dims(tokens, store)
+    toks_by_line, store_dim, summary = build_sourcemap_dims(tokens, store)
 
     is_js = F.col("kind") == "js"
     url = F.when(is_js, F.col("url"))
     base, query, url_base = url_base_cols(url)
     uuid = F.coalesce(F.col(cfg.source_map_uuid_col), F.lit(""))
+
+    # lookup orientation: spec = (row=line, col=col); reference-compat swaps
+    # the two (see PipelineConfig.sourcemap_reference_compat)
+    if cfg.sourcemap_reference_compat:
+        q_row, q_col = F.col("col"), F.col("line")
+    else:
+        q_row, q_col = F.col("line"), F.col("col")
 
     frames = frames.withColumns(
         {"sm_base": base, "sm_query": query, "sm_url_base": F.when(is_js, url_base)}
@@ -90,9 +130,14 @@ def enrich_js(frames: DataFrame, tokens: DataFrame, store: DataFrame, cfg: Pipel
         F.broadcast(toks_by_line),
         (frames["sm_url_base"] == toks_by_line["sm_url_base"])
         & (uuid == toks_by_line["sm_uuid"])
-        & (F.col("line") == toks_by_line["sm_line"]),
+        & (q_row == toks_by_line["sm_line"]),
         "left",
     ).drop(toks_by_line["sm_url_base"]).drop("sm_uuid", "sm_line")
+    frames = frames.join(
+        F.broadcast(summary),
+        (frames["sm_url_base"] == summary["smu_url_base"]) & (uuid == summary["smu_uuid"]),
+        "left",
+    ).drop("smu_url_base", "smu_uuid")
 
     line, col, func = F.col("line"), F.col("col"), F.col("func")
     # cache key: url|uuid (symbolicator.go:18-23)
@@ -112,7 +157,15 @@ def enrich_js(frames: DataFrame, tokens: DataFrame, store: DataFrame, cfg: Pipel
     empty_url = url == ""  # symbolicator.go:87-95
     store_miss = F.col("sms_hit").isNull()
     store_err = F.col("sms_err").isNotNull()
-    tok = F.try_element_at(F.filter(F.col("sm_toks"), lambda t: t["min_col"] <= col), F.lit(-1))
+    # lexicographic as-of: greatest token <= (q_row, q_col) — in-line token,
+    # else last token of an earlier line (same-line dim or per-file summary)
+    in_line = F.try_element_at(
+        F.filter(F.col("sm_toks"), lambda t: t["min_col"] <= q_col), F.lit(-1)
+    )
+    summary_prev = F.try_element_at(
+        F.filter(F.col("sm_lines"), lambda e: e["line"] < q_row), F.lit(-1)
+    )["last_tok"]
+    tok = F.coalesce(in_line, F.col("sm_prev"), summary_prev)
 
     err = (
         F.when(col_bad, F.format_string("column must be uint32: %d", col))
@@ -173,5 +226,6 @@ def enrich_js(frames: DataFrame, tokens: DataFrame, store: DataFrame, cfg: Pipel
         )
     )
     return frames.withColumn("js_out", F.when(is_js, js_out)).drop(
-        "sms_hit", "sms_err", "sm_toks", "sm_base", "sm_query", "sm_url_base"
+        "sms_hit", "sms_err", "sm_toks", "sm_prev", "sm_lines",
+        "sm_base", "sm_query", "sm_url_base"
     )
