@@ -47,22 +47,25 @@ def coalesce_outcomes(frames: DataFrame) -> DataFrame:
 
 def regroup(frames: DataFrame) -> DataFrame:
     """Collect enriched frames back into per-record pos-sorted arrays; the
-    record payload columns ride along via ``first`` (identical within a
-    group).  Null-frame rows (skip / no frames) collect to an empty array."""
+    packed record payload (``rec``, present on the first frame only) and the
+    flat join-key columns ride along via ``first``.  Null-frame rows
+    (skip / no frames) collect to an empty array."""
     o = F.col("out")
     ef_cols = [F.col("pos").alias("pos"), F.col("stack_idx").alias("stack_idx"),
                F.col("kind").alias("kind")]
     ef_cols += [o[f].alias(f) for f in _EF_FIELDS if f not in ("pos", "stack_idx", "kind")]
     ef = F.when(F.col("pos").isNotNull(), F.struct(*ef_cols))
 
-    record_cols = [
+    flat_cols = [
         c for c in frames.columns
-        if c not in _FRAME_FIELDS and c != "out"
-        and c not in ("conv_id", "turn_idx")
+        if c not in _FRAME_FIELDS and c not in ("out", "rec", "conv_id", "turn_idx")
     ]
-    aggs = [F.first(c).alias(c) for c in record_cols]
+    aggs = [F.first(c).alias(c) for c in flat_cols]
+    aggs.append(F.first("rec", ignorenulls=True).alias("rec"))
     aggs.append(F.sort_array(F.collect_list(ef)).alias("efs"))
-    return frames.groupBy("conv_id", "turn_idx").agg(*aggs)
+    grouped = frames.groupBy("conv_id", "turn_idx").agg(*aggs)
+    # unpack the payload struct back to top-level columns for assembly
+    return grouped.select("conv_id", "turn_idx", *flat_cols, "efs", "rec.*")
 
 
 def _patched_frames(efs: Column) -> Column:

@@ -44,9 +44,15 @@ def build_dsym_dims(symbols: DataFrame, store: DataFrame) -> tuple[DataFrame, Da
     return ranges, store_dim
 
 
-def enrich_apple(frames: DataFrame, symbols: DataFrame, store: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def enrich_apple(
+    frames: DataFrame,
+    symbols: DataFrame,
+    store: DataFrame,
+    cfg: PipelineConfig,
+    dims: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Adds ``apple_out`` (kinds apple/apple_raw) and ``mk_out`` (kind mk)."""
-    ranges_dim, store_dim = build_dsym_dims(symbols, store)
+    ranges_dim, store_dim = dims or build_dsym_dims(symbols, store)
 
     is_apple = F.col("kind") == "apple"
     is_apple_raw = F.col("kind") == "apple_raw"

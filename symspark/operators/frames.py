@@ -123,11 +123,28 @@ def attach_parsed(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.withColumn("parsed", parsed)
 
 
+# record-level columns the frame enrichment joins need on every frame row
+FRAME_FLAT_COLS = [
+    "conv_id",
+    "turn_idx",
+    "route",
+    "source_map_uuid",
+    "build_uuid",
+    "app_executable",
+    "proguard_uuid",
+]
+
+
 def explode_frames(parsed_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """OUTER-explode the unified frames array, carrying the record payload
-    along (linear plan: one scan, one parse, one downstream shuffle — the
-    regroup).  Rows without frames (skip / parse-error / empty) survive as
-    a single null-frame row, so no second branch re-reads the input."""
+    """OUTER-explode the unified frames array (linear plan: one scan, one
+    parse, one downstream shuffle — the regroup).  Rows without frames
+    (skip / parse-error / empty) survive as a single null-frame row, so no
+    second branch re-reads the input.
+
+    Only the join-key columns ride flat on every frame row; the rest of the
+    record payload is packed into one ``rec`` struct attached to the FIRST
+    frame only, so the regroup shuffle moves each record's payload once
+    instead of once per frame."""
     parsed = F.col("parsed")
     df = parsed_df.withColumns(
         {
@@ -137,7 +154,13 @@ def explode_frames(parsed_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
             "p_error": parsed["error"],
         }
     )
-    record_cols = [c for c in df.columns if c != "parsed"]
-    return df.select(
-        *record_cols, F.explode_outer("parsed.frames").alias("fr")
-    ).select(*record_cols, "fr.*")
+    payload_cols = [c for c in df.columns if c != "parsed" and c not in FRAME_FLAT_COLS]
+    exploded = df.select(
+        *FRAME_FLAT_COLS,
+        F.struct(*payload_cols).alias("_rec_full"),
+        F.explode_outer("parsed.frames").alias("fr"),
+    )
+    rec = F.when(F.col("fr").isNull() | (F.col("fr.pos") == 0), F.col("_rec_full"))
+    return exploded.select(
+        *FRAME_FLAT_COLS, rec.alias("rec"), "fr.*"
+    )

@@ -38,8 +38,14 @@ def build_proguard_dims(mapping: DataFrame, store: DataFrame) -> tuple[DataFrame
     return ranges, store_dim
 
 
-def enrich_jvm(frames: DataFrame, mapping: DataFrame, store: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    ranges_dim, store_dim = build_proguard_dims(mapping, store)
+def enrich_jvm(
+    frames: DataFrame,
+    mapping: DataFrame,
+    store: DataFrame,
+    cfg: PipelineConfig,
+    dims: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    ranges_dim, store_dim = dims or build_proguard_dims(mapping, store)
 
     is_jvm = F.col("kind") == "jvm"
     is_raw = F.col("kind") == "jvm_raw"

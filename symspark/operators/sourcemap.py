@@ -101,10 +101,18 @@ def build_sourcemap_dims(
     return toks_by_line, store_dim, summary
 
 
-def enrich_js(frames: DataFrame, tokens: DataFrame, store: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def enrich_js(
+    frames: DataFrame,
+    tokens: DataFrame,
+    store: DataFrame,
+    cfg: PipelineConfig,
+    dims: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Broadcast-join enrichment for ``kind == 'js'`` frames; adds the
-    ``js_out`` outcome-struct column (null for other kinds)."""
-    toks_by_line, store_dim, summary = build_sourcemap_dims(tokens, store)
+    ``js_out`` outcome-struct column (null for other kinds).  Pass ``dims``
+    (from build_sourcemap_dims, possibly localized via
+    pipeline.prepare_dims) to skip per-action dim aggregation."""
+    toks_by_line, store_dim, summary = dims or build_sourcemap_dims(tokens, store)
 
     is_js = F.col("kind") == "js"
     url = F.when(is_js, F.col("url"))

@@ -62,10 +62,42 @@ def load_lookups(spark: SparkSession, directory: str) -> Lookups:
     )
 
 
+@dataclass
+class PreparedDims:
+    """Pre-aggregated (and optionally driver-localized) dimension tables.
+
+    The symbol dims are tiny relative to the fact table; localizing them to
+    in-memory LocalTableScans removes all per-action dim-prep jobs so a
+    repeated pipeline run spends its time on the fact scan only (this is
+    what a real deployment gets from building dims once and reusing the
+    broadcast across a long-running job)."""
+
+    sourcemap: tuple[DataFrame, DataFrame, DataFrame]
+    proguard: tuple[DataFrame, DataFrame]
+    dsym: tuple[DataFrame, DataFrame]
+
+
+def _localize(df: DataFrame) -> DataFrame:
+    spark = df.sparkSession
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+def prepare_dims(lookups: Lookups, localize: bool = True) -> PreparedDims:
+    sm = sourcemap.build_sourcemap_dims(lookups.sourcemap_tokens, lookups.sourcemap_store)
+    pg = proguard.build_proguard_dims(lookups.proguard_mapping, lookups.proguard_store)
+    ds = dsym.build_dsym_dims(lookups.dsym_symbols, lookups.dsym_store)
+    if localize:
+        sm = tuple(_localize(d) for d in sm)
+        pg = tuple(_localize(d) for d in pg)
+        ds = tuple(_localize(d) for d in ds)
+    return PreparedDims(sourcemap=sm, proguard=pg, dsym=ds)
+
+
 def run_pipeline(
     transcripts: DataFrame,
     lookups: Lookups,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    dims: PreparedDims | None = None,
 ) -> DataFrame:
     """Return the enriched record-level DataFrame (one row per input turn,
     stable under (conv_id, turn_idx) ordering).
@@ -77,9 +109,18 @@ def run_pipeline(
     df = route_op.gate_and_route(transcripts, cfg)
     df = frames_op.attach_parsed(df, cfg)
     fr = frames_op.explode_frames(df, cfg)
-    fr = sourcemap.enrich_js(fr, lookups.sourcemap_tokens, lookups.sourcemap_store, cfg)
-    fr = proguard.enrich_jvm(fr, lookups.proguard_mapping, lookups.proguard_store, cfg)
-    fr = dsym.enrich_apple(fr, lookups.dsym_symbols, lookups.dsym_store, cfg)
+    fr = sourcemap.enrich_js(
+        fr, lookups.sourcemap_tokens, lookups.sourcemap_store, cfg,
+        dims=dims.sourcemap if dims else None,
+    )
+    fr = proguard.enrich_jvm(
+        fr, lookups.proguard_mapping, lookups.proguard_store, cfg,
+        dims=dims.proguard if dims else None,
+    )
+    fr = dsym.enrich_apple(
+        fr, lookups.dsym_symbols, lookups.dsym_store, cfg,
+        dims=dims.dsym if dims else None,
+    )
     fr = assemble.coalesce_outcomes(fr)
     grouped = assemble.regroup(fr)
     return assemble.assemble_records(grouped, cfg)

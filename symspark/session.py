@@ -25,17 +25,29 @@ def get_spark(
     if shuffle_partitions is None:
         n = cores or os.cpu_count() or 8
         shuffle_partitions = int(n)
+    # local mode: the driver heap is the only memory knob; size it to the
+    # thread count or concurrent tasks GC-thrash (observed: 32 threads in an
+    # 8g heap spent 28% of run time in GC and amplified work ~20x)
+    n_threads = 32
+    if master.startswith("local[") and master[6:-1].isdigit():
+        n_threads = int(master[6:-1])
+    default_mem = f"{min(96, 6 + 2 * n_threads)}g"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing merges by BYTES; our post-shuffle assembly stage is
+        # CPU-heavy per byte (array-expression record assembly), so letting
+        # AQE collapse the ~100MB regroup shuffle to 2 partitions serializes
+        # the job (observed: 32-core run using 1.6 cores).  We size
+        # spark.sql.shuffle.partitions to the core count instead.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SYMSPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SYMSPARK_DRIVER_MEM", default_mem))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
