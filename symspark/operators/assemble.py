@@ -38,27 +38,24 @@ _EF_FIELDS = [
 ]
 
 
-def coalesce_outcomes(frames: DataFrame) -> DataFrame:
-    """Merge the per-operator outcome structs into one ``out`` column."""
-    return frames.withColumn(
-        "out", F.coalesce(F.col("js_out"), F.col("jvm_out"), F.col("apple_out"), F.col("mk_out"))
-    ).drop("js_out", "jvm_out", "apple_out", "mk_out")
-
-
 def regroup(frames: DataFrame) -> DataFrame:
     """Collect enriched frames back into per-record pos-sorted arrays; the
     packed record payload (``rec``, present on the first frame only) and the
     flat join-key columns ride along via ``first``.  Null-frame rows
-    (skip / no frames) collect to an empty array."""
-    o = F.col("out")
+    (skip / no frames) collect to an empty array.
+
+    The outcome fields arrive as flat ``o_*`` columns (operators/common.py)
+    and are packed into the per-frame struct only here — the one place a
+    struct is genuinely needed (collect_list element)."""
     ef_cols = [F.col("pos").alias("pos"), F.col("stack_idx").alias("stack_idx"),
                F.col("kind").alias("kind")]
-    ef_cols += [o[f].alias(f) for f in _EF_FIELDS if f not in ("pos", "stack_idx", "kind")]
+    ef_cols += [F.col(f"o_{f}").alias(f) for f in _EF_FIELDS if f not in ("pos", "stack_idx", "kind")]
     ef = F.when(F.col("pos").isNotNull(), F.struct(*ef_cols))
 
     flat_cols = [
         c for c in frames.columns
-        if c not in _FRAME_FIELDS and c not in ("out", "rec", "conv_id", "turn_idx")
+        if c not in _FRAME_FIELDS and c not in ("rec", "conv_id", "turn_idx")
+        and not c.startswith("o_")
     ]
     aggs = [F.first(c).alias(c) for c in flat_cols]
     aggs.append(F.first("rec", ignorenulls=True).alias("rec"))

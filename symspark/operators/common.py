@@ -44,6 +44,8 @@ OUTCOME_SCHEMA = T.StructType(
 )
 
 _OUT_FIELDS = [(f.name, f.dataType.simpleString()) for f in OUTCOME_SCHEMA.fields]
+OUTCOME_FIELDS = [f.name for f in OUTCOME_SCHEMA.fields]
+OUTCOME_TYPES = {f.name: f.dataType.simpleString() for f in OUTCOME_SCHEMA.fields}
 
 
 def out_struct(**given: Column) -> Column:
@@ -53,6 +55,36 @@ def out_struct(**given: Column) -> Column:
         c = given.get(name, F.lit(None))
         cols.append(c.cast(typ).alias(name))
     return F.struct(*cols)
+
+
+def init_outcome_cols(df):
+    """Add the flat ``o_*`` outcome columns as typed nulls.
+
+    Outcomes are kept FLAT (one column per field, filled per frame kind with
+    scalar-branch CASE WHENs) rather than struct-valued CASE WHENs: each
+    column codegens into its own small, splittable method that the JVM can
+    JIT — a single struct-churning mega-expression exceeds the 8KB JIT limit
+    and runs interpreted (observed ~10x per-row cost)."""
+    return df.withColumns(
+        {f"o_{name}": F.lit(None).cast(typ) for name, typ in _OUT_FIELDS}
+    )
+
+
+def fill_outcomes(df, branches: list):
+    """Apply [(condition, {field: Column})] outcome branches to the flat
+    ``o_*`` columns.  Earlier operators' values win only for their own
+    kinds; conditions across operators are disjoint (frame kind)."""
+    updates = {}
+    for name, typ in _OUT_FIELDS:
+        expr = F.col(f"o_{name}")
+        # build when-chain in reverse so the FIRST matching branch wins
+        for cond, fields in reversed(branches):
+            if name in fields:
+                expr = F.when(cond, fields[name].cast(typ)).otherwise(expr)
+            else:
+                expr = F.when(cond, F.lit(None).cast(typ)).otherwise(expr)
+        updates[f"o_{name}"] = expr
+    return df.withColumns(updates)
 
 
 MAX_UINT32 = 4294967295

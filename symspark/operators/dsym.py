@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from symspark.config import PipelineConfig
-from symspark.operators.common import out_struct
+from symspark.operators.common import fill_outcomes
 
 _UUID_RE = "[0-9A-Z]{8}-[0-9A-Z]{4}-[0-9A-Z]{4}-[0-9A-Z]{4}-[0-9A-Z]{12}"
 
@@ -112,27 +112,24 @@ def enrich_apple(
         ),
         "\n",
     )
-    apple_out = (
-        F.when(
-            uuid.isNull(),  # unknown binary token: silent passthrough (:236-238)
-            out_struct(chunk=F.col("raw"), f_failed=F.lit(False), proc_inc=F.lit(0), fail_inc=F.lit(0)),
-        )
-        .when(
-            store_miss,  # first-encounter passthrough; later frames flip via rank
-            out_struct(
-                chunk=F.col("raw"), f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
-                fetch_key=uuid, miss_uuid=uuid, miss_err=fetch_err,
-            ),
-        )
-        .when(
-            matched.isNull(),  # in-store but address unmapped (symbolicator.go:115-117)
-            out_struct(chunk=F.col("raw"), f_failed=F.lit(True), proc_inc=F.lit(1), fail_inc=F.lit(1)),
-        )
-        .otherwise(
-            out_struct(chunk=apple_found_chunk, f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0))
-        )
-    )
-    raw_out = out_struct(chunk=F.col("raw"), f_failed=F.lit(False), proc_inc=F.lit(0), fail_inc=F.lit(0))
+    apple_branches = [
+        (is_apple & uuid.isNull(), dict(  # unknown binary token: silent passthrough (:236-238)
+            chunk=F.col("raw"), f_failed=F.lit(False), proc_inc=F.lit(0), fail_inc=F.lit(0),
+        )),
+        (is_apple & store_miss, dict(  # first-encounter passthrough; later frames flip in assembly
+            chunk=F.col("raw"), f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
+            fetch_key=uuid, miss_uuid=uuid, miss_err=fetch_err,
+        )),
+        (is_apple & matched.isNull(), dict(  # in-store but address unmapped (symbolicator.go:115-117)
+            chunk=F.col("raw"), f_failed=F.lit(True), proc_inc=F.lit(1), fail_inc=F.lit(1),
+        )),
+        (is_apple, dict(
+            chunk=apple_found_chunk, f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
+        )),
+        (is_apple_raw, dict(
+            chunk=F.col("raw"), f_failed=F.lit(False), proc_inc=F.lit(0), fail_inc=F.lit(0),
+        )),
+    ]
 
     # ---- MetricKit outcomes (logs_processor.go:435-469) ----
     mk_found_chunk = F.array_join(
@@ -145,32 +142,23 @@ def enrich_apple(
         ),
         "\n",
     )
-    mk_out = (
-        F.when(
-            store_miss,  # fallback line, not a failure (:460-462)
-            out_struct(
-                chunk=F.format_string("%s(%s) +%d", bin_, uuid, addr),
-                f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
-                fetch_key=uuid, miss_uuid=uuid, miss_err=fetch_err,
-            ),
-        )
-        .when(
-            matched.isNull(),  # aborts the record (:463-466)
-            out_struct(
-                f_err=F.format_string("could not find symbol at location %d", addr),
-                f_failed=F.lit(True), proc_inc=F.lit(1), fail_inc=F.lit(1),
-            ),
-        )
-        .otherwise(
-            out_struct(chunk=mk_found_chunk, f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0))
-        )
+    mk_branches = [
+        (is_mk & store_miss, dict(  # fallback line, not a failure (:460-462)
+            chunk=F.format_string("%s(%s) +%d", bin_, uuid, addr),
+            f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
+            fetch_key=uuid, miss_uuid=uuid, miss_err=fetch_err,
+        )),
+        (is_mk & matched.isNull(), dict(  # aborts the record (:463-466)
+            f_err=F.format_string("could not find symbol at location %d", addr),
+            f_failed=F.lit(True), proc_inc=F.lit(1), fail_inc=F.lit(1),
+        )),
+        (is_mk, dict(
+            chunk=mk_found_chunk, f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
+        )),
+        (F.col("kind") == "mk_empty", dict(
+            chunk=F.lit(""), f_failed=F.lit(False), proc_inc=F.lit(0), fail_inc=F.lit(0),
+        )),
+    ]
+    return fill_outcomes(frames, apple_branches + mk_branches).drop(
+        "dss_hit", "ds_ranges", "ds_q_uuid", "ds_q_bin"
     )
-
-    mk_empty_out = out_struct(
-        chunk=F.lit(""), f_failed=F.lit(False), proc_inc=F.lit(0), fail_inc=F.lit(0)
-    )
-    return frames.withColumn(
-        "apple_out", F.when(is_apple, apple_out).when(is_apple_raw, raw_out)
-    ).withColumn(
-        "mk_out", F.when(is_mk, mk_out).when(F.col("kind") == "mk_empty", mk_empty_out)
-    ).drop("dss_hit", "ds_ranges", "ds_q_uuid", "ds_q_bin")

@@ -161,6 +161,8 @@ def explode_frames(parsed_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.explode_outer("parsed.frames").alias("fr"),
     )
     rec = F.when(F.col("fr").isNull() | (F.col("fr.pos") == 0), F.col("_rec_full"))
-    return exploded.select(
-        *FRAME_FLAT_COLS, rec.alias("rec"), "fr.*"
+    from symspark.operators.common import init_outcome_cols
+
+    return init_outcome_cols(
+        exploded.select(*FRAME_FLAT_COLS, rec.alias("rec"), "fr.*")
     )

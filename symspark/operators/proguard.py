@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from symspark.config import PipelineConfig
-from symspark.operators.common import MAX_UINT32, out_struct
+from symspark.operators.common import MAX_UINT32, fill_outcomes
 
 
 def build_proguard_dims(mapping: DataFrame, store: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -109,37 +109,25 @@ def enrich_jvm(
         ),
     )
 
-    jvm_out = (
-        F.when(
-            line_bad,  # counters untouched (log_processor.go:240-245 precedes :247)
-            out_struct(
-                chunk=F.format_string("\tInvalid line number %d for %s.%s", line, cls, method),
-                f_failed=F.lit(True), proc_inc=F.lit(0), fail_inc=F.lit(0),
-            ),
-        )
-        .when(
-            store_miss,
-            out_struct(
-                chunk=F.format_string("\tFailed to symbolicate %s.%s(%d): %s", cls, method, line, fetch_err),
-                f_failed=F.lit(True), proc_inc=F.lit(1), fail_inc=F.lit(1), fetch_key=uuid,
-            ),
-        )
-        .when(
-            has_mapped,
-            out_struct(
-                chunk=mapped_chunk, f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
-                m_jvm=mapped_m,
-            ),
-        )
-        .otherwise(
-            out_struct(
-                chunk=keep_chunk, f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
-                m_jvm=keep_m,
-            )
-        )
-    )
-    raw_out = out_struct(chunk=F.col("raw"), f_failed=F.lit(False), proc_inc=F.lit(0), fail_inc=F.lit(0))
-
-    return frames.withColumn(
-        "jvm_out", F.when(is_jvm, jvm_out).when(is_raw, raw_out)
-    ).drop("pgs_hit", "pg_ranges")
+    branches = [
+        (is_jvm & line_bad, dict(  # counters untouched (log_processor.go:240-247)
+            chunk=F.format_string("\tInvalid line number %d for %s.%s", line, cls, method),
+            f_failed=F.lit(True), proc_inc=F.lit(0), fail_inc=F.lit(0),
+        )),
+        (is_jvm & store_miss, dict(
+            chunk=F.format_string("\tFailed to symbolicate %s.%s(%d): %s", cls, method, line, fetch_err),
+            f_failed=F.lit(True), proc_inc=F.lit(1), fail_inc=F.lit(1), fetch_key=uuid,
+        )),
+        (is_jvm & has_mapped, dict(
+            chunk=mapped_chunk, f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
+            m_jvm=mapped_m,
+        )),
+        (is_jvm, dict(
+            chunk=keep_chunk, f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
+            m_jvm=keep_m,
+        )),
+        (is_raw, dict(
+            chunk=F.col("raw"), f_failed=F.lit(False), proc_inc=F.lit(0), fail_inc=F.lit(0)
+        )),
+    ]
+    return fill_outcomes(frames, branches).drop("pgs_hit", "pg_ranges")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from symspark.config import PipelineConfig
-from symspark.operators.common import MAX_UINT32, out_struct
+from symspark.operators.common import MAX_UINT32, fill_outcomes
 
 _SCHEME_AUTH = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*"
 _SCHEME_ONLY = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
@@ -201,39 +201,28 @@ def enrich_js(
         "\tFailed to symbolicate %s at %s:%d:%d: %s", func, url, line, col, err
     )  # M2 (processor.go:359)
 
-    js_out = (
-        F.when(
-            anon,
-            out_struct(
-                chunk=F.format_string("    at %s (<anonymous>)", func),
-                f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
-                m_col=col, m_func=func, m_line=line, m_url=url,
-            ),
-        )
-        .when(
-            native,
-            out_struct(
-                chunk=F.format_string("    at %s (native)", func),
-                f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
-                m_col=col, m_func=func, m_line=line, m_url=url,
-            ),
-        )
-        .when(
-            err.isNotNull(),
-            out_struct(
-                chunk=err_chunk, f_failed=F.lit(True), proc_inc=F.lit(1), fail_inc=F.lit(1),
-                fetch_key=F.when(store_miss | store_err, cache_key),
-                m_col=F.lit(-1), m_func=F.lit(""), m_line=F.lit(-1), m_url=F.lit(""),
-            ),
-        )
-        .otherwise(
-            out_struct(
-                chunk=ok_chunk, f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
-                m_col=m_col, m_func=m_func, m_line=m_line, m_url=m_url,
-            )
-        )
-    )
-    return frames.withColumn("js_out", F.when(is_js, js_out)).drop(
+    branches = [
+        (is_js & anon, dict(
+            chunk=F.format_string("    at %s (<anonymous>)", func),
+            f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
+            m_col=col, m_func=func, m_line=line, m_url=url,
+        )),
+        (is_js & native, dict(
+            chunk=F.format_string("    at %s (native)", func),
+            f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
+            m_col=col, m_func=func, m_line=line, m_url=url,
+        )),
+        (is_js & err.isNotNull(), dict(
+            chunk=err_chunk, f_failed=F.lit(True), proc_inc=F.lit(1), fail_inc=F.lit(1),
+            fetch_key=F.when(store_miss | store_err, cache_key),
+            m_col=F.lit(-1), m_func=F.lit(""), m_line=F.lit(-1), m_url=F.lit(""),
+        )),
+        (is_js, dict(
+            chunk=ok_chunk, f_failed=F.lit(False), proc_inc=F.lit(1), fail_inc=F.lit(0),
+            m_col=m_col, m_func=m_func, m_line=m_line, m_url=m_url,
+        )),
+    ]
+    return fill_outcomes(frames, branches).drop(
         "sms_hit", "sms_err", "sm_toks", "sm_prev", "sm_lines",
         "sm_base", "sm_query", "sm_url_base"
     )

@@ -121,7 +121,6 @@ def run_pipeline(
         fr, lookups.dsym_symbols, lookups.dsym_store, cfg,
         dims=dims.dsym if dims else None,
     )
-    fr = assemble.coalesce_outcomes(fr)
     grouped = assemble.regroup(fr)
     return assemble.assemble_records(grouped, cfg)
 

@@ -399,10 +399,15 @@ FROM sigs a JOIN sigs b
 """)
 def _dedup_minhash(spark, sf_dir):
     """MinHash + LSH near-dup: 3-word shingles -> 2 minhash signatures ->
-    band bucket -> self-join on the bucket (candidate pairs)."""
+    band bucket -> self-join on the bucket (candidate pairs).  The shingle
+    array is materialized once in a staged projection so the per-signature
+    transforms don't re-split the text."""
     d = _t(spark, sf_dir, "documents")
-    sh = _shingles_spark()
-    sigs = d.filter(F.size(F.split("text", " ")) >= 3).select(
+    staged = d.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", _shingles_spark().alias("sh")
+    )
+    sh = F.col("sh")
+    sigs = staged.select(
         "doc_id",
         F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit("h0|"), s).cast("binary")))).alias("sig0"),
         F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit("h1|"), s).cast("binary")))).alias("sig1"),
