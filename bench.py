@@ -49,6 +49,22 @@ def _force(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or df.count()
 
 
+def cpu_calibration() -> float:
+    """Best-of-5 fixed single-core workload (seconds).  The sandbox host has
+    episodic multi-minute CPU-steal storms; ~0.23s is the quiet baseline, so
+    calib/0.23 estimates how degraded the host was during this bench."""
+    import hashlib
+
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        h = b"x"
+        for _ in range(400000):
+            h = hashlib.md5(h).digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     from symspark.plans import queries as Q
     from symspark.pipeline import load_lookups, prepare_dims, run_pipeline, sink_aggregates
@@ -105,6 +121,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "n_turns": n_turns,
         "cpus": cpus,
         "sinks": {r["sink"]: r["rows"] for r in aggs},
+        # host-noise context: single-core calibration (quiet baseline ~0.23s)
+        "cpu_calibration_sec": cpu_calibration(),
     }
 
 

@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SYMSPARK_DRIVER_MEM", default_mem))
+        # the fused explode-stage consume method lands just over HotSpot's
+        # 8KB JIT ceiling; without this flag it runs interpreted (~10x cost)
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # collect_list groups (one per record) always exceed the 128-entry
+        # object-hash-aggregate default, which forces a sort per partition
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
