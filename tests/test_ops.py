@@ -105,12 +105,11 @@ def test_parity_harness(spark):
 
 @pytest.fixture(scope="module")
 def stream_input(fixture_dir, tmp_path_factory):
-    # file-stream sources need a DIRECTORY of files
+    # file-stream sources need a flat directory of files
     d = tmp_path_factory.mktemp("stream_in")
-    os.link(
-        os.path.join(fixture_dir, "transcripts.parquet"),
-        os.path.join(d, "part-000.parquet"),
-    )
+    src = os.path.join(fixture_dir, "transcripts.parquet")
+    for name in sorted(os.listdir(src)):
+        os.link(os.path.join(src, name), os.path.join(d, name))
     return str(d)
 
 
