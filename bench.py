@@ -37,9 +37,11 @@ BENCH_QUERIES = [
     "window_hourly",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_lsh_topk",
     "text_quality",
 ]
 

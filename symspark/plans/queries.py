@@ -121,7 +121,7 @@ def _regex_parse(spark, sf_dir):
 
 @q("json_extract", """
 SELECT event_type,
-       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """)
@@ -298,12 +298,18 @@ SELECT
                          INTERSECT SELECT o_custkey FROM orders)) AS both_sets
 """)
 def _set_ops(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    only = c.distinct().exceptAll(o.distinct()).count()
-    both = c.distinct().intersect(o.distinct()).count()
-    return c.sparkSession.createDataFrame(
-        [(only, both)], "only_customers bigint, both_sets bigint"
+    # single pass: left join distinct key sets and classify, instead of two
+    # separate EXCEPT/INTERSECT driver actions (one job, one shuffle)
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .withColumn("has_o", F.lit(1))
+    )
+    return c.join(o, "k", "left").agg(
+        F.sum(F.when(F.col("has_o").isNull(), 1).otherwise(0)).alias("only_customers"),
+        F.sum(F.when(F.col("has_o").isNotNull(), 1).otherwise(0)).alias("both_sets"),
     )
 
 
@@ -386,39 +392,107 @@ _SHINGLES_DUCK = (
 )
 
 
-@q("dedup_minhash_lsh", f"""
-WITH sigs AS (
-  SELECT doc_id,
-         list_min(list_transform({_SHINGLES_DUCK}, s -> md5('h0|' || s))) AS sig0,
-         list_min(list_transform({_SHINGLES_DUCK}, s -> md5('h1|' || s))) AS sig1
+# b bands x r rows: LSH threshold ~ (1/b)^(1/r) = 0.5
+_LSH_BANDS, _LSH_ROWS = 4, 2
+_LSH_VERIFY = 0.5
+
+
+def _minhash_lsh_oracle() -> str:
+    nsig = _LSH_BANDS * _LSH_ROWS
+    sig_list = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('h{i}|' || s)))" for i in range(nsig)
+    )
+    # DuckDB lists are 1-based: band k (0-based) uses sig[rk+1 .. rk+r]
+    key = " || '|' || ".join(f"sig[{_LSH_ROWS} * band + {j + 1}]" for j in range(_LSH_ROWS))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
   FROM documents WHERE len(string_split(text,' ')) >= 3
+), sigs AS (
+  SELECT doc_id, sh, [{sig_list}] AS sig FROM docs
+), bands AS (
+  SELECT doc_id, band, {key} AS key
+  FROM sigs, (SELECT unnest(generate_series(0, {_LSH_BANDS - 1})) AS band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sigs a JOIN sigs b
-  ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.doc_id < b.doc_id
-""")
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jacc
+FROM cand
+JOIN docs sa ON sa.doc_id = doc_a
+JOIN docs sb ON sb.doc_id = doc_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {_LSH_VERIFY}
+"""
+
+
+@q("dedup_minhash_lsh", _minhash_lsh_oracle())
 def _dedup_minhash(spark, sf_dir):
-    """MinHash + LSH near-dup: 3-word shingles -> 2 minhash signatures ->
-    band bucket -> self-join on the bucket (candidate pairs).  The shingle
-    array is materialized once in a staged projection so the per-signature
-    transforms don't re-split the text."""
+    """MinHash + LSH near-dup, the scale-shaped pipeline:
+
+    3-word shingles -> b*r minhash signatures -> b banded bucket keys ->
+    self-join per band on the bucket key (candidate pairs, never all-pairs)
+    -> exact shingle-set Jaccard verify on the candidates.
+
+    The shingle/signature DataFrames are persist()ed before the self-join:
+    Catalyst pushes the join-key isnotnull filters below a staged
+    projection, which would otherwise re-evaluate the whole
+    split+shingle+md5 tree once per band per side (the round-1 ~6x
+    recompute).  The band join carries only (doc_id, band, key) so shuffle
+    volume stays O(docs * bands), and the verify stage re-joins the
+    persisted shingle sets by doc_id."""
     d = _t(spark, sf_dir, "documents")
-    staged = d.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", _shingles_spark().alias("sh")
+    docs = (
+        d.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.array_distinct(_shingles_spark()).alias("sh"))
+        .persist()
     )
     sh = F.col("sh")
-    sigs = staged.select(
-        "doc_id",
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit("h0|"), s).cast("binary")))).alias("sig0"),
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit("h1|"), s).cast("binary")))).alias("sig1"),
+    nsig = _LSH_BANDS * _LSH_ROWS
+
+    def _sig(i):
+        # single-arg closure: a two-arg lambda would make F.transform pass
+        # the element index as the second argument
+        prefix = f"h{i}|"
+
+        def f(s):
+            return F.md5(F.concat(F.lit(prefix), s).cast("binary"))
+
+        return F.array_min(F.transform(sh, f)).alias(f"sig{i}")
+
+    sigs = docs.select("doc_id", *[_sig(i) for i in range(nsig)])
+    band_keys = [
+        F.concat_ws("|", *[F.col(f"sig{_LSH_ROWS * k + j}") for j in range(_LSH_ROWS)])
+        for k in range(_LSH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+    ).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    return a.join(
-        b,
-        (F.col("a.sig0") == F.col("b.sig0"))
-        & (F.col("a.sig1") == F.col("b.sig1"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    sa, sb = docs.alias("sa"), docs.alias("sb")
+    ninter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    jacc = ninter.cast("double") / (
+        F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - ninter
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jacc >= _LSH_VERIFY)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jacc"))
+    )
 
 
 @q("dedup_ngram_jaccard", """
@@ -442,14 +516,41 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ninter / (sa.n + sb.n - ninter) >= 0.8
 """)
 def _dedup_jaccard(spark, sf_dir):
-    """Word-set Jaccard near-dup over (lang, source)-blocked pairs."""
+    """Word-set Jaccard near-dup over (lang, source)-blocked pairs via an
+    EXACT prefix-filtered similarity join (PPJoin-style prefix filter:
+    Chaudhuri/Ganti/Kaushik, ICDE'06; Xiao et al., WWW'08).
+
+    The naive word-level self-join (the oracle SQL above) is quadratic on
+    common tokens.  Instead, each doc's distinct words are ordered by
+    ascending global document frequency and only the first
+    n - ceil(t*n) + 1 ("prefix") tokens participate in the candidate
+    join.  Any pair with Jaccard >= t must share at least one prefix token
+    under a common total token order, so the output provably equals the
+    naive join's - which is exactly what the driver's oracle comparison
+    checks.  At scale the candidate set is driven by rare tokens instead
+    of the full inverted index."""
+    t = 0.8
     d = _t(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", "lang", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
-    ).distinct()
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = words.alias("a"), words.alias("b")
-    inter = (
+    # per-doc word-set arrays: the ONLY persisted base (narrow scan, no
+    # shuffle); feeds the inverted-index explode twice and the verify stage
+    docs = d.select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("ws")
+    ).persist()
+    wl = docs.select(
+        "doc_id", "lang", "source", F.size("ws").alias("n"), F.explode("ws").alias("word")
+    )
+    # global token order: ascending doc-frequency within the (lang, source)
+    # comparison block, word as tie-break -> a total order shared by any
+    # two docs that can ever be compared
+    dfreq = wl.groupBy("word", "lang", "source").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        wl.join(dfreq, ["word", "lang", "source"])
+        .withColumn("rn", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "word")))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "lang", "source", "word")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.word") == F.col("b.word"))
@@ -457,15 +558,16 @@ def _dedup_jaccard(spark, sf_dir):
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("ninter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jacc = F.col("ninter") / (F.col("sa.n") + F.col("sb.n") - F.col("ninter"))
+    sa, sb = docs.alias("sa"), docs.alias("sb")
+    ninter = F.size(F.array_intersect(F.col("sa.ws"), F.col("sb.ws")))
+    jacc = ninter / (F.size(F.col("sa.ws")) + F.size(F.col("sb.ws")) - ninter)
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jacc >= 0.8)
+        .filter(jacc >= t)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jacc"))
     )
 
@@ -519,6 +621,22 @@ def _dedup_simhash(spark, sf_dir):
     return words.groupBy("doc_id").agg(bits.cast("bigint").alias("simhash"))
 
 
+def _vec_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _vec_norm(c):
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def _cosine(a, b):
+    return _vec_dot(a, b) / (_vec_norm(a) * _vec_norm(b))
+
+
 @q("ann_cosine_topk", """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -529,21 +647,16 @@ scored AS (
 SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10
 """)
 def _ann_topk(spark, sf_dir):
-    """Brute-force cosine top-k against a fixed query vector (vec_id 0)."""
+    """Brute-force cosine top-k against a fixed query vector (vec_id 0).
+
+    The query vector rides in-plan as a broadcast 1-row cross join (no
+    driver .first() round-trip, no hidden job per invocation)."""
     e = _t(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    qarr = F.array(*[F.lit(float(x)) for x in qvec])
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding"), qarr, lambda a, b: a.cast("double") * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    sim = F.round(dot / (norm(F.col("embedding")) * norm(qarr)), 3)
+    qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sim = F.round(_cosine(F.col("embedding"), F.col("qe")), 3)
     return (
         e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qdf))
         .select("vec_id", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
@@ -554,26 +667,33 @@ def _hyperplane(dim: int, j: int) -> list[int]:
     return [((i * 37 + j * 101) % 21) - 10 for i in range(dim)]
 
 
+def _bucket_expr(col="embedding"):
+    """16-bucket sign-LSH key, dimension-agnostic (hyperplanes generated
+    in-plan from the vector length - no driver round-trip for the dim)."""
+    def _plane(j):
+        # NB: a two-arg lambda would make F.transform pass the array index
+        # as the second arg - close over j with a single-arg function
+        def f(i):
+            return (i * 37 + j * 101) % 21 - 10
+
+        return F.transform(F.sequence(F.lit(0), F.size(F.col(col)) - 1), f)
+
+    bucket = None
+    for j in range(4):
+        bit = F.when(_vec_dot(F.col(col), _plane(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 @q("ann_lsh_buckets", None)  # oracle registered below (needs embedding dim)
 def _ann_lsh(spark, sf_dir):
     """LSH bucketing for ANN: sign bits against 4 integer hyperplanes ->
-    16-bucket histogram (the scale path: per-bucket brute force)."""
+    16-bucket histogram (bucket population audit for the scale path)."""
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    bucket = None
-    for j in range(4):
-        h = F.array(*[F.lit(v) for v in _hyperplane(dim, j)])
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding"), h, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return e.groupBy(bucket.cast("int").alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    return e.groupBy(_bucket_expr().alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
 
 
-def ann_lsh_oracle(dim: int) -> str:
+def _bucket_sql_duck(dim: int) -> str:
     terms = []
     for j in range(4):
         h = _hyperplane(dim, j)
@@ -582,15 +702,59 @@ def ann_lsh_oracle(dim: int) -> str:
             f"(CASE WHEN list_sum(list_transform(list_zip(embedding, {arr}), "
             f"p -> CAST(p[1] AS DOUBLE) * p[2])) > 0 THEN {1 << j} ELSE 0 END)"
         )
-    bits = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def ann_lsh_oracle(dim: int) -> str:
     return f"""
-SELECT CAST({bits} AS INTEGER) AS bucket, count(*) AS n
+SELECT CAST({_bucket_sql_duck(dim)} AS INTEGER) AS bucket, count(*) AS n
 FROM embeddings GROUP BY 1
 """
 
 
 # the driver testdata embeddings are 64-dimensional (TESTDATA.md tables)
 ORACLE_SQL["ann_lsh_buckets"] = ann_lsh_oracle(64)
+
+
+@q("ann_lsh_topk", None)  # oracle registered below (needs embedding dim)
+def _ann_lsh_topk(spark, sf_dir):
+    """The ANN scale path end-to-end: LSH-bucket the corpus, then
+    brute-force cosine top-k ONLY within the query vector's bucket.
+
+    Multiprobe: candidates come from the query's bucket plus all buckets
+    at Hamming distance 1 (5 of 16 buckets), the standard recall lever for
+    sign LSH.  At 100 TB the bucket key becomes the shuffle/partition key
+    (or a partition column of the vector table), so each query touches
+    ~(1+bits)/2^bits of the corpus; brute-force `ann_cosine_topk` is the
+    recall oracle (see tests/test_queries.py recall check)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", _bucket_expr().alias("bucket"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    sim = F.round(_cosine(F.col("embedding"), F.col("qe")), 3)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))) <= 1)
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def ann_lsh_topk_oracle(dim: int) -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_bucket_sql_duck(dim)} AS INTEGER) AS bucket
+  FROM embeddings
+), q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(CAST(list_cosine_similarity(embedding, (SELECT qe FROM q)) AS DOUBLE), 3) AS sim
+FROM b WHERE vec_id <> 0 AND bit_count(xor(bucket, (SELECT qb FROM q))) <= 1
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+ORACLE_SQL["ann_lsh_topk"] = ann_lsh_topk_oracle(64)
 
 _STOP = ("the", "a", "of", "in", "and")
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOP)
@@ -652,7 +816,7 @@ def _doc_fingerprint(spark, sf_dir):
 
 
 @q("token_count", """
-SELECT source, sum(len(string_split(text, ' '))) AS total_tokens, count(*) AS n_docs
+SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, count(*) AS n_docs
 FROM documents GROUP BY source
 """)
 def _token_count(spark, sf_dir):

@@ -63,3 +63,12 @@ def test_query_matches_oracle(spark, duck, name):
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_ann_lsh_topk_recall(spark):
+    """The LSH scale path must beat random-candidate recall by a wide
+    margin: hamming<=1 multiprobe touches 5/16 of the corpus (random
+    recall ~0.31); require >=0.5 overlap with brute-force top-10."""
+    bf = [r.vec_id for r in QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()]
+    lsh = [r.vec_id for r in QUERIES["ann_lsh_topk"](spark, SF_DIR).collect()]
+    assert len(set(bf) & set(lsh)) / 10 >= 0.5
