@@ -41,3 +41,12 @@ def parse_apple_line(line: str) -> dict | None:
         "tok": m.group(4),
         "addr": int(m.group(5)),
     }
+
+
+# Vectorized front-end: same regex with the prefix (line start through the
+# end of the hex-address group) captured as an outer group, so the batch
+# path gets `line[:m.end(3)]` without per-row match objects.
+_RE_STACK_LINE_VEC = re.compile(
+    r"^(([0-9]+)\s+([\w _\-\.]+[\w_\-\.])\s+(0x[\da-f]+))\s+([\w _\-\.]*) \+ (\d+)",
+    re.ASCII,
+)

@@ -65,3 +65,16 @@ def parse_java_stack_trace(text: str) -> tuple[dict | None, str | None]:
         "exception_message": m.group(2),
         "elements": elements,
     }, None
+
+
+def java_line_number(source, line_no) -> int:
+    """Android StackTraceElement line-number conventions (shared by the
+    scalar and batch paths)."""
+    if source == "Native Method":
+        return -2
+    if line_no:
+        try:
+            return int(line_no)
+        except ValueError:
+            return -1
+    return -1

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from symspark.config import PipelineConfig
-from symspark.functions.parse import parse_stack_udf
+from symspark.functions.parse_arrow import parse_stack_arrow_udf as parse_stack_udf
 from symspark.schemas import FRAME_SCHEMA
 
 _UDF_ROUTES = ("js", "jvm", "apple", "mk")

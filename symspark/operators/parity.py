@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from symspark.config import DEFAULT_CONFIG, PipelineConfig
-from symspark.functions.parse import parse_stack_udf
+from symspark.functions.parse_arrow import parse_stack_arrow_udf as parse_stack_udf
 
 # status enum (parity.go:14-37)
 STATUS_BOTH_MATCH = "match"
