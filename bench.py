@@ -156,8 +156,22 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def _attach_scaling(result: dict) -> dict:
+    """Inline the most recent committed --scaling evidence (SCALING.json,
+    produced by `python bench.py --scaling` and committed) so the per-round
+    bench artifact carries the north-rule efficiency number."""
+    path = os.path.join(REPO, "SCALING.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            s = json.load(f)
+        result["scaling"] = {
+            k: s[k] for k in ("metric", "tput_8", "tput_32", "efficiency") if k in s
+        }
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
     else:
-        print(json.dumps(run_bench(SF_DIR, CPUS)))
+        print(json.dumps(_attach_scaling(run_bench(SF_DIR, CPUS))))

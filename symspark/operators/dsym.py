@@ -52,7 +52,9 @@ def enrich_apple(
     dims: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Adds ``apple_out`` (kinds apple/apple_raw) and ``mk_out`` (kind mk)."""
-    ranges_dim, store_dim = dims or build_dsym_dims(symbols, store)
+    if dims is None:
+        dims = tuple(F.broadcast(d) for d in build_dsym_dims(symbols, store))
+    ranges_dim, store_dim = dims
 
     is_apple = F.col("kind") == "apple"
     is_apple_raw = F.col("kind") == "apple_raw"
@@ -72,13 +74,13 @@ def enrich_apple(
 
     frames = frames.withColumns({"ds_q_uuid": uuid, "ds_q_bin": bin_})
     frames = frames.join(
-        F.broadcast(store_dim),
+        store_dim,
         (F.lower(frames["ds_q_uuid"]) == store_dim["dss_uuid"])
         & (frames["ds_q_bin"] == store_dim["dss_bin"]),
         "left",
     ).drop("dss_uuid", "dss_bin")
     frames = frames.join(
-        F.broadcast(ranges_dim),
+        ranges_dim,
         (F.lower(frames["ds_q_uuid"]) == ranges_dim["ds_uuid"])
         & (frames["ds_q_bin"] == ranges_dim["ds_bin"]),
         "left",

@@ -45,17 +45,19 @@ def enrich_jvm(
     cfg: PipelineConfig,
     dims: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    ranges_dim, store_dim = dims or build_proguard_dims(mapping, store)
+    if dims is None:
+        dims = tuple(F.broadcast(d) for d in build_proguard_dims(mapping, store))
+    ranges_dim, store_dim = dims
 
     is_jvm = F.col("kind") == "jvm"
     is_raw = F.col("kind") == "jvm_raw"
     uuid = F.col(cfg.proguard_uuid_col)
 
     frames = frames.join(
-        F.broadcast(store_dim), F.when(is_jvm, uuid) == store_dim["pgs_uuid"], "left"
+        store_dim, F.when(is_jvm, uuid) == store_dim["pgs_uuid"], "left"
     ).drop("pgs_uuid")
     frames = frames.join(
-        F.broadcast(ranges_dim),
+        ranges_dim,
         (F.when(is_jvm, uuid) == ranges_dim["pg_uuid"])
         & (F.col("cls") == ranges_dim["pg_cls"])
         & (F.col("method") == ranges_dim["pg_method"]),

@@ -112,7 +112,12 @@ def enrich_js(
     ``js_out`` outcome-struct column (null for other kinds).  Pass ``dims``
     (from build_sourcemap_dims, possibly localized via
     pipeline.prepare_dims) to skip per-action dim aggregation."""
-    toks_by_line, store_dim, summary = dims or build_sourcemap_dims(tokens, store)
+    if dims is None:
+        # inline-built dims are fixture-small: hint broadcast; pre-built
+        # dims carry their own hint decision (pipeline.prepare_dims gates
+        # on size - large stores go through plain/AQE-planned joins)
+        dims = tuple(F.broadcast(d) for d in build_sourcemap_dims(tokens, store))
+    toks_by_line, store_dim, summary = dims
 
     is_js = F.col("kind") == "js"
     url = F.when(is_js, F.col("url"))
@@ -130,19 +135,19 @@ def enrich_js(
         {"sm_base": base, "sm_query": query, "sm_url_base": F.when(is_js, url_base)}
     )
     frames = frames.join(
-        F.broadcast(store_dim),
+        store_dim,
         (frames["sm_url_base"] == store_dim["sms_url_base"]) & (uuid == store_dim["sms_uuid"]),
         "left",
     ).drop("sms_url_base", "sms_uuid")
     frames = frames.join(
-        F.broadcast(toks_by_line),
+        toks_by_line,
         (frames["sm_url_base"] == toks_by_line["sm_url_base"])
         & (uuid == toks_by_line["sm_uuid"])
         & (q_row == toks_by_line["sm_line"]),
         "left",
     ).drop(toks_by_line["sm_url_base"]).drop("sm_uuid", "sm_line")
     frames = frames.join(
-        F.broadcast(summary),
+        summary,
         (frames["sm_url_base"] == summary["smu_url_base"]) & (uuid == summary["smu_uuid"]),
         "left",
     ).drop("smu_url_base", "smu_uuid")

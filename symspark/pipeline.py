@@ -82,14 +82,37 @@ def _localize(df: DataFrame) -> DataFrame:
     return spark.createDataFrame(df.collect(), df.schema)
 
 
-def prepare_dims(lookups: Lookups, localize: bool = True) -> PreparedDims:
+# dims at or under this row count are driver-localized + broadcast-hinted;
+# larger stores stay distributed and their joins go through AQE planning
+# (broadcast if Spark's byte-estimate allows, else shuffled hash / SMJ).
+LOCALIZE_MAX_ROWS = 200_000
+
+
+def prepare_dims(lookups: Lookups, localize: bool | str = "auto") -> PreparedDims:
+    """Pre-aggregate the symbol dims and decide their join strategy.
+
+    ``localize="auto"`` (default) gates the round-1 unconditional driver
+    ``collect()`` on a per-dim row count: small dims (the common case - a
+    symbol store is tiny next to the fact table) localize to in-memory
+    LocalTableScans and get an explicit broadcast hint, so repeated
+    pipeline actions pay no dim-prep jobs.  A dim over LOCALIZE_MAX_ROWS
+    stays a distributed DataFrame with NO broadcast hint - the enrichment
+    join is then planned by AQE (driver-OOM-safe; this is the large-store
+    path).  ``True``/``False`` force the small/large behavior.
+    """
     sm = sourcemap.build_sourcemap_dims(lookups.sourcemap_tokens, lookups.sourcemap_store)
     pg = proguard.build_proguard_dims(lookups.proguard_mapping, lookups.proguard_store)
     ds = dsym.build_dsym_dims(lookups.dsym_symbols, lookups.dsym_store)
-    if localize:
-        sm = tuple(_localize(d) for d in sm)
-        pg = tuple(_localize(d) for d in pg)
-        ds = tuple(_localize(d) for d in ds)
+
+    def prep(d: DataFrame) -> DataFrame:
+        loc = localize
+        if loc == "auto":
+            loc = d.limit(LOCALIZE_MAX_ROWS + 1).count() <= LOCALIZE_MAX_ROWS
+        return F.broadcast(_localize(d)) if loc else d
+
+    sm = tuple(prep(d) for d in sm)
+    pg = tuple(prep(d) for d in pg)
+    ds = tuple(prep(d) for d in ds)
     return PreparedDims(sourcemap=sm, proguard=pg, dsym=ds)
 
 

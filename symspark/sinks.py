@@ -12,10 +12,13 @@ jar (``format="iceberg"`` + ``saveAsTable``), else a parquet directory
 layout with identical partitioning (the in-sandbox fallback; SURVEY.md §7
 Stage 4).
 
-Resumability: the input is processed in conv_id hash buckets; each
-completed bucket commits a manifest JSON (bucket id, row counts, per-sink
-counters, lineage) next to the sink data.  On restart, completed buckets
-are skipped — a driver-side protocol, deliberately not a Spark concern.
+Resumability: the input is processed in conv_id hash buckets; each bucket
+writes to its own ``bucket=NNNNN`` subdirectory with overwrite semantics,
+THEN commits a manifest JSON (bucket id, row counts, per-sink counters,
+lineage) via atomic rename.  On restart, completed buckets are skipped and
+a bucket that crashed between write and manifest is simply re-overwritten
+— the redo is idempotent, so the manifest protocol is exactly-once at the
+bucket level.  A driver-side protocol, deliberately not a Spark concern.
 """
 
 from __future__ import annotations
@@ -44,13 +47,49 @@ def write_fanout(
     base_path: str,
     partition_keys: tuple[str, ...] = DEFAULT_PARTITION_KEYS,
     mode: str = "append",
+    subdir: str | None = None,
 ) -> None:
-    """One partitioned write = N routed sinks."""
-    (
-        enriched.write.mode(mode)
-        .partitionBy(*partition_keys)
-        .parquet(os.path.join(base_path, "sinks"))
-    )
+    """One partitioned write = N routed sinks.
+
+    ``subdir`` scopes the write to ``sinks/<subdir>/`` (a ``key=value``
+    name registers as an extra partition column on read) - the unit of
+    idempotent redo: callers that may replay a slice (checkpoint resume,
+    streaming batch retry) write it to its own subdir with
+    ``mode="overwrite"`` so a replay cannot duplicate rows."""
+    target = os.path.join(base_path, "sinks", subdir) if subdir else os.path.join(base_path, "sinks")
+    enriched.write.mode(mode).partitionBy(*partition_keys).parquet(target)
+
+
+def write_fanout_iceberg(
+    enriched: DataFrame,
+    table: str,
+    partition_keys: tuple[str, ...] = DEFAULT_PARTITION_KEYS,
+    conv_buckets: int = 32,
+    overwrite_filter=None,
+) -> None:
+    """Iceberg-table fan-out (requires the iceberg-spark-runtime jar; see
+    iceberg_available()).  The table is partitioned by the sink keys plus
+    ``bucket(conv_buckets, conv_id)`` - the same explicit conv_id
+    hash-bucketing the parquet layout gets from run_checkpointed, but
+    tracked in Iceberg metadata so readers prune on conv_id too.
+
+    ``overwrite_filter`` (a Column predicate) makes a replayed slice
+    idempotent via Iceberg's overwrite-by-filter commit; otherwise append.
+    """
+    spark = enriched.sparkSession
+    writer = enriched.writeTo(table).using("iceberg")
+    if not spark.catalog.tableExists(table):
+        (
+            writer.partitionedBy(
+                F.bucket(conv_buckets, F.col("conv_id")),
+                *[F.col(k) for k in partition_keys],
+            ).create()
+        )
+        return
+    if overwrite_filter is not None:
+        writer.overwrite(overwrite_filter)
+    else:
+        writer.append()
 
 
 def read_sink(spark: SparkSession, base_path: str, route: str, outcome: str) -> DataFrame:
@@ -88,8 +127,10 @@ def run_checkpointed(
     input_lineage: str = "",
 ) -> dict:
     """Process the input in conv_id hash buckets, committing a per-bucket
-    manifest (rows, per-sink counters, lineage) after each append.  Re-runs
-    skip completed buckets, so a killed job resumes where it left off.
+    manifest (rows, per-sink counters, lineage) after each bucket-scoped
+    overwrite.  Re-runs skip completed buckets and idempotently redo the
+    in-flight one, so a killed job resumes where it left off without
+    duplicating rows.
 
     Returns a summary dict {buckets_run, buckets_skipped, rows}.
     """
@@ -107,7 +148,10 @@ def run_checkpointed(
         enriched = run_pipeline(part, lookups, cfg)
         enriched = enriched.persist()
         try:
-            write_fanout(enriched, base_path)
+            # bucket-scoped overwrite: a crash AFTER the write commits but
+            # BEFORE the manifest lands just re-overwrites the same bucket
+            # directory on resume - no duplicate rows (idempotent redo)
+            write_fanout(enriched, base_path, subdir=f"bucket={b:05d}", mode="overwrite")
             counters = {
                 r[cfg.sink_col]: {
                     "rows": r["rows"],

@@ -480,56 +480,52 @@ def gen_sourcemap_store() -> pa.Table:
     )
 
 
-def gen_proguard_mapping() -> pa.Table:
-    """(uuid, obf_class, obf_method, line range) -> 0..N mapped frames.
+def render_proguard_mapping_txt(uuid: str) -> str:
+    """Deterministic R8/ProGuard mapping.txt for one fixture uuid.
 
-    Ranges per key: [1,100] -> 1 frame, [101,200] -> 2 frames (inlining),
-    [201,300] -> 0 frames (keep-original, log_processor.go:275-293).
+    Ranges per key: [1,100] -> 1 frame, [101,200] -> 2 frames (an inline
+    chain: two method lines sharing the obfuscated range, innermost
+    first); [201,300] intentionally ABSENT - a real mapping file encodes
+    "RemapFrame returns 0 frames / keep-original"
+    (log_processor.go:275-293) by having no entry for those lines.
     """
-    rows = {k: [] for k in (
-        "proguard_uuid", "obf_class", "obf_method", "line_start", "line_end", "mapped",
-    )}
+    out = []
+    deob = sorted(
+        {f"com.example.Deob{cls.replace('.', '_').upper()}" for cls, _ in PG_CLASSES}
+    )
+    for d in deob:
+        out.append(f"{d} -> {d}_obf:")
+        out.append('# {"id":"sourceFile","fileName":"Source.java"}')
+    by_cls: dict[str, list[str]] = {}
+    for cls, method in PG_CLASSES:
+        dcls = f"com.example.Deob{cls.replace('.', '_').upper()}"
+        lines = by_cls.setdefault(cls, [])
+        for lo, hi, nmapped in ((1, 100, 1), (101, 200, 2)):
+            for k in range(nmapped):
+                lines.append(
+                    f"    {lo}:{hi}:void {dcls}.orig_{method}{k}():{lo * 10 + k}"
+                    f" -> {method}"
+                )
+    for cls, lines in by_cls.items():
+        out.append(f"com.example.Original{cls.replace('.', '_').capitalize()} -> {cls}:")
+        out.extend(lines)
+    return "\n".join(out) + "\n"
+
+
+def gen_proguard_mapping() -> pa.Table:
+    """(uuid, obf_class, obf_method, line range) -> 1..N mapped frames.
+
+    Rendered as real mapping.txt text and parsed back through
+    sources.proguard_build - the offline builder is the tested source of
+    truth for this dimension (VERDICT r1 item 5), not a parallel
+    synthesizer.
+    """
+    from symspark.sources.proguard_build import parse_mapping_text, rows_to_table
+
+    rows: list[dict] = []
     for uuid in PG_UUIDS:
-        for cls, method in PG_CLASSES:
-            for lo, hi, nmapped in ((1, 100, 1), (101, 200, 2), (201, 300, 0)):
-                mapped = [
-                    {
-                        "class_name": f"com.example.Deob{cls.replace('.', '_').upper()}",
-                        "method_name": f"orig_{method}{k}",
-                        "source_file": "Source.java",
-                        "line_number": lo * 10 + k,
-                    }
-                    for k in range(nmapped)
-                ]
-                rows["proguard_uuid"].append(uuid)
-                rows["obf_class"].append(cls)
-                rows["obf_method"].append(method)
-                rows["line_start"].append(lo)
-                rows["line_end"].append(hi)
-                rows["mapped"].append(mapped)
-    mapped_type = pa.list_(
-        pa.struct(
-            [
-                ("class_name", pa.string()),
-                ("method_name", pa.string()),
-                ("source_file", pa.string()),
-                ("line_number", pa.int64()),
-            ]
-        )
-    )
-    return pa.table(
-        rows,
-        schema=pa.schema(
-            [
-                ("proguard_uuid", pa.string()),
-                ("obf_class", pa.string()),
-                ("obf_method", pa.string()),
-                ("line_start", pa.int64()),
-                ("line_end", pa.int64()),
-                ("mapped", mapped_type),
-            ]
-        ),
-    )
+        rows.extend(parse_mapping_text(uuid, render_proguard_mapping_txt(uuid)))
+    return rows_to_table(rows)
 
 
 def gen_proguard_store() -> pa.Table:

@@ -104,14 +104,23 @@ def build_token_table(entries: list[tuple[str, str, str]]) -> pa.Table:
 
 
 def build_store_from_dir(directory: str) -> tuple[pa.Table, pa.Table]:
-    """Scan a source-map store directory (the reference's file-store layout:
-    ``{base}`` + ``{base}.map`` at the root, ``{uuid}/{base}`` for scoped
-    maps) into (sourcemap_tokens, sourcemap_store) tables."""
+    """Scan a source-map store (the reference's store layout: ``{base}`` +
+    ``{base}.map`` at the root, ``{uuid}/{base}`` for scoped maps) into
+    (sourcemap_tokens, sourcemap_store) tables.
+
+    ``directory`` may be a local path or an ``s3://`` / ``gs://`` /
+    ``file://`` URI (the reference's three store backends,
+    sourcemapprocessor/store.go:94-166) - resolved via store_fs/pyarrow.fs.
+    """
+    from pyarrow.fs import FileType
+
+    from symspark.sources import store_fs
+
+    filesystem, root = store_fs.resolve(directory)
     tokens_entries, store_rows = [], {"url_base": [], "build_uuid": [], "error": []}
 
     def handle(path: str, url_base: str, uuid: str) -> None:
-        with open(path, encoding="utf-8", errors="replace") as f:
-            source = f.read()
+        source = store_fs.read_text(filesystem, path)
         map_name = extract_sourcemap_url(source)
         if not map_name:
             store_rows["url_base"].append(url_base)
@@ -120,26 +129,25 @@ def build_store_from_dir(directory: str) -> tuple[pa.Table, pa.Table]:
                 f"failed to find source map location: {path}"
             )
             return
-        map_path = os.path.join(os.path.dirname(path), map_name)
-        if not os.path.exists(map_path):
+        map_path = "/".join([path.rsplit("/", 1)[0], map_name]) if "/" in path else map_name
+        if not store_fs.exists(filesystem, map_path):
             store_rows["url_base"].append(url_base)
             store_rows["build_uuid"].append(uuid)
             store_rows["error"].append(f"failed to find source map: {map_path}")
             return
-        with open(map_path, encoding="utf-8") as f:
-            tokens_entries.append((url_base, uuid, f.read()))
+        tokens_entries.append((url_base, uuid, store_fs.read_text(filesystem, map_path)))
         store_rows["url_base"].append(url_base)
         store_rows["build_uuid"].append(uuid)
         store_rows["error"].append(None)
 
-    for entry in sorted(os.listdir(directory)):
-        full = os.path.join(directory, entry)
-        if os.path.isfile(full) and entry.endswith(".js"):
-            handle(full, entry, "")
-        elif os.path.isdir(full):
-            for sub in sorted(os.listdir(full)):
-                if sub.endswith(".js"):
-                    handle(os.path.join(full, sub), sub, entry)
+    for info in store_fs.list_dir(filesystem, root):
+        entry = info.base_name
+        if info.type == FileType.File and entry.endswith(".js"):
+            handle(info.path, entry, "")
+        elif info.type == FileType.Directory:
+            for sub in store_fs.list_dir(filesystem, info.path):
+                if sub.type == FileType.File and sub.base_name.endswith(".js"):
+                    handle(sub.path, sub.base_name, entry)
 
     store = pa.table(
         store_rows,

@@ -7,8 +7,10 @@ the streaming analog is:
   directory -> ``foreachBatch`` running the SAME batch pipeline per
   micro-batch -> routed fan-out append.  foreachBatch is the idiomatic way
   to reuse multi-join/regroup batch logic (broadcast enrichment joins are
-  not restricted inside it), with exactly-once via the checkpoint dir +
-  idempotent per-batch writes.
+  not restricted inside it).  foreachBatch delivery is at-least-once; the
+  batch write is keyed on batch_id (``batch=<id>`` subdirectory,
+  overwrite), so a micro-batch replayed after a failure between the write
+  and the checkpoint commit overwrites itself - effectively exactly-once.
 - ``streaming_sink_metrics``: a NATIVE streaming aggregation — per-minute
   per-route counters with an event-time watermark for late data — the
   streaming form of the reference's internal telemetry (SURVEY.md §2.6).
@@ -45,10 +47,12 @@ def run_streaming(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         enriched = run_pipeline(batch_df, lookups, cfg)
+        # idempotent per-batch write: replay of a batch_id overwrites its
+        # own subdirectory instead of blind-appending duplicates
         (
-            enriched.write.mode("append")
+            enriched.write.mode("overwrite")
             .partitionBy("route", "outcome")
-            .parquet(os.path.join(out_dir, "sinks"))
+            .parquet(os.path.join(out_dir, "sinks", f"batch={batch_id}"))
         )
 
     writer = (

@@ -51,6 +51,27 @@ def test_checkpointed_run_resumes(spark, fixture_dir, tmp_path):
         manifest = json.load(f)
     assert manifest["lineage"]["input"] == "fixtures"
 
+    # the redo is idempotent: re-running buckets whose manifests were lost
+    # OVERWRITES their bucket=NNNNN subdirectories, so sink data holds
+    # exactly one copy of every row (the round-1 append layout duplicated
+    # here)
+    assert spark.read.parquet(os.path.join(base, "sinks")).count() == t.count()
+    assert any(
+        p.startswith("bucket=") for p in os.listdir(os.path.join(base, "sinks"))
+    )
+
+
+def test_iceberg_fanout_or_documented_fallback(spark, enriched):
+    """In-sandbox the iceberg-spark-runtime jar is absent -> the writer
+    must report that honestly; with the jar present the same call writes a
+    bucket(conv_id)-partitioned Iceberg table (skip-if-unavailable)."""
+    import pytest
+
+    if not sinks.iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime jar not in sandbox")
+    sinks.write_fanout_iceberg(enriched, "local.db.sinks_test")
+    assert spark.table("local.db.sinks_test").count() == enriched.count()
+
 
 def test_conversation_rollup_matches_plain_agg(enriched):
     salted = {r["conv_id"]: r.asDict() for r in skew.conversation_rollup(enriched).collect()}
@@ -92,15 +113,31 @@ def test_parity_harness(spark):
     ]
     df = parity.add_parity_columns(spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA))
     got = {r["conv_id"]: r for r in df.collect()}
-    assert got["p1"]["parity_status"] == parity.STATUS_BOTH_MATCH
+    assert got["p1"]["parity_status"] == parity.STATUS_CONSISTENT
     assert got["p1"]["parity_mismatch_count"] == 0
     assert got["p1"]["parity_frame_verdicts"] == ["consistent"]
-    assert got["p2"]["parity_status"] == parity.STATUS_MISMATCH
+    assert got["p2"]["parity_status"] == parity.STATUS_DIFFERENT
     assert got["p2"]["parity_frame_verdicts"] == ["different"]
-    assert got["p3"]["parity_status"] == parity.STATUS_PARSER_FAILED
+    assert got["p2"]["parity_mismatch_count"] == 1
+    assert got["p3"]["parity_status"] == parity.STATUS_PROCESSOR_FAILED
     assert got["p4"]["parity_status"] == parity.STATUS_NOT_APPLICABLE
+    # full M13 attribute surface (parity.go:48-57,126): both routes' frame
+    # arrays plus the (amortized) parse duration
+    assert got["p1"]["tracekit_urls"] == [APP]
+    assert got["p1"]["processor_parser_urls"] == [APP]
+    assert got["p1"]["processor_parser_functions"] == ["f1"]
+    assert got["p1"]["processor_parser_lines"] == [10]
+    assert got["p1"]["processor_parser_columns"] == [15]
+    assert got["p1"]["parity_parse_duration"] >= 0.0
+    assert got["p3"]["processor_parser_urls"] is None  # parse failed -> null frames
+    assert got["p4"]["tracekit_urls"] is None  # not run through the harness
     report = {r["parity_status"]: r["rows"] for r in parity.parity_report(df).collect()}
-    assert report == {"match": 1, "mismatch": 1, "parser_failed": 1, "not_applicable": 1}
+    assert report == {
+        "consistent": 1,
+        "different": 1,
+        "processor-parser-failed": 1,
+        "not_applicable": 1,
+    }
 
 
 @pytest.fixture(scope="module")
@@ -163,3 +200,30 @@ def test_multimodal_features(spark):
     again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
     assert again[5]["feature"] == by_id[5]["feature"]
     assert again[5]["sha1"] == by_id[5]["sha1"]
+
+
+def test_prepare_dims_large_store_path(spark, fixture_dir):
+    """localize=False keeps dims distributed with no broadcast hint (the
+    driver-OOM-safe large-store path); the pipeline must produce the same
+    sink aggregates as the localized configuration, and 'auto' must pick
+    localization for the fixture-sized store."""
+    from symspark import pipeline as pl
+
+    t = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    lookups = load_lookups(spark, fixture_dir)
+    small = pl.prepare_dims(lookups, localize=True)
+    large = pl.prepare_dims(lookups, localize=False)
+    agg_small = {
+        r["sink"]: r["rows"]
+        for r in pl.sink_aggregates(pl.run_pipeline(t, lookups, dims=small)).collect()
+    }
+    agg_large = {
+        r["sink"]: r["rows"]
+        for r in pl.sink_aggregates(pl.run_pipeline(t, lookups, dims=large)).collect()
+    }
+    assert agg_small == agg_large
+
+    # auto localizes the fixture-small dims (LocalTableScan in the plan)
+    auto = pl.prepare_dims(lookups, localize="auto")
+    plan = auto.sourcemap[1]._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan or "LocalTableScan" in plan
