@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
@@ -77,6 +78,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     tdir = Q.transcripts_dir(sf_dir)
     transcripts = spark.read.parquet(os.path.join(tdir, "transcripts.parquet"))
+    # --scaling sets a replication factor so the measured job is
+    # compute-bound (fixed per-run driver/broadcast costs otherwise mask
+    # parallel scaling at small fixture sizes); both parallelism levels see
+    # the SAME replicated input
+    repl = int(os.environ.get("SYMSPARK_BENCH_REPLICATE", "1"))
+    if repl > 1:
+        import functools
+
+        transcripts = functools.reduce(
+            lambda a, b: a.unionAll(b), [transcripts] * repl
+        )
     lookups = load_lookups(spark, tdir)
     n_turns = transcripts.count()
 
@@ -99,7 +111,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     pipeline_sec = min(runs)
 
     t0 = time.perf_counter()
-    aggs = sink_aggregates(run_pipeline(transcripts, lookups)).collect()
+    aggs = sink_aggregates(run_pipeline(transcripts, lookups, dims=dims)).collect()
     agg_sec = time.perf_counter() - t0
 
     qtimes = {
@@ -137,8 +149,9 @@ def run_scaling(sf_dir: str) -> dict:
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
             SPARK_GRAFT_SF_DIR=sf_dir,
-            SYMSPARK_BENCH_RUNS="4",
+            SYMSPARK_BENCH_RUNS=os.environ.get("SYMSPARK_BENCH_RUNS", "4"),
             SYMSPARK_BENCH_QUERIES="0",
+            SYMSPARK_BENCH_REPLICATE=os.environ.get("SYMSPARK_BENCH_REPLICATE", "8"),
         )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True

@@ -184,6 +184,8 @@ def _int_or_null(strs: pa.Array, typ=pa.int64()) -> pa.Array:
 
 def _parse_js_arrow(stack: pa.Array, name: pa.Array, message: pa.Array) -> pa.StructArray:
     n = len(stack)
+    if n == 0:
+        return _parsed_struct(0)
     stack = pc.fill_null(stack, "")
     name = pc.fill_null(name, "")
     message = pc.fill_null(message, "")
@@ -396,6 +398,8 @@ def parse_stack_arrow_udf(
 ) -> pa.Array:
     text, route, name, message = map(_as_array, (text, route, name, message))
     n = len(text)
+    if n == 0:
+        return _parsed_struct(0)
     r = pc.fill_null(route, "")
     parts: list[tuple[np.ndarray, pa.Array]] = []
     covered = np.zeros(n, dtype=bool)

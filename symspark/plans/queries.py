@@ -756,6 +756,51 @@ ORDER BY sim DESC, vec_id LIMIT 10
 
 ORACLE_SQL["ann_lsh_topk"] = ann_lsh_topk_oracle(64)
 
+
+@q("dedup_embedding_cosine", None)  # oracle registered below (needs dim)
+def _dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH-bucket-blocked pair generation (the
+    dedup-family scale shape - candidates come from equal sign-LSH
+    buckets, never an all-pairs cross join) + exact cosine verify.
+
+    The oracle encodes the SAME blocked semantics, so the driver compare
+    checks the implementation; cross-bucket recall is the standard LSH
+    trade-off, tunable with more hyperplanes/tables."""
+    t = 0.35
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_expr().alias("bucket")
+    ).persist()
+    a, b = e.alias("a"), e.alias("b")
+    sim = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 3).alias("sim"),
+        )
+        .filter(F.col("sim") >= t)
+    )
+
+
+def dedup_embedding_oracle(dim: int) -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_bucket_sql_duck(dim)} AS INTEGER) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS sim
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) >= 0.35
+"""
+
+
+ORACLE_SQL["dedup_embedding_cosine"] = dedup_embedding_oracle(64)
+
 _STOP = ("the", "a", "of", "in", "and")
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOP)
 

@@ -32,6 +32,18 @@ def get_spark(
     if master.startswith("local[") and master[6:-1].isdigit():
         n_threads = int(master[6:-1])
     default_mem = f"{min(96, 6 + 2 * n_threads)}g"
+    # Scan split sizing: the cluster default (128m bins + 4m file-open
+    # cost) packs a small-fixture multi-file table into ~2 input
+    # partitions, serializing the whole scan->parse->join mega-stage no
+    # matter how many cores exist (the round-2 scaling-floor bug).  In
+    # local mode default to 4m bins so each fixture shard is its own
+    # partition and all cores engage; a real cluster run (SPARK_GRAFT_MASTER
+    # or SYMSPARK_MAX_PARTITION_BYTES set) keeps/sets the production value,
+    # where 100TB inputs dwarf any sane bin size.
+    max_part = os.environ.get(
+        "SYMSPARK_MAX_PARTITION_BYTES",
+        "4m" if master.startswith("local[") else "128m",
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -54,6 +66,7 @@ def get_spark(
         # collect_list groups (one per record) always exceed the 128-entry
         # object-hash-aggregate default, which forces a sort per partition
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+        .config("spark.sql.files.maxPartitionBytes", max_part)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
