@@ -77,18 +77,24 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                       shuffle_partitions=cpus)
 
     tdir = Q.transcripts_dir(sf_dir)
-    transcripts = spark.read.parquet(os.path.join(tdir, "transcripts.parquet"))
     # --scaling sets a replication factor so the measured job is
     # compute-bound (fixed per-run driver/broadcast costs otherwise mask
     # parallel scaling at small fixture sizes); both parallelism levels see
-    # the SAME replicated input
+    # the SAME replicated input.  Replication is a hardlinked file set, so
+    # the plan stays ONE scan relation (a unionAll would clone the whole
+    # operator tree repl times - repl x parse UDFs, repl x 6 broadcasts)
     repl = int(os.environ.get("SYMSPARK_BENCH_REPLICATE", "1"))
+    src = os.path.join(tdir, "transcripts.parquet")
     if repl > 1:
-        import functools
-
-        transcripts = functools.reduce(
-            lambda a, b: a.unionAll(b), [transcripts] * repl
-        )
+        rdir = os.path.join(tdir, f"transcripts_x{repl}.parquet")
+        if not os.path.isdir(rdir):
+            os.makedirs(rdir, exist_ok=True)
+            for i in range(repl):
+                for name in sorted(os.listdir(src)):
+                    if name.endswith(".parquet"):
+                        os.link(os.path.join(src, name), os.path.join(rdir, f"r{i:02d}-{name}"))
+        src = rdir
+    transcripts = spark.read.parquet(src)
     lookups = load_lookups(spark, tdir)
     n_turns = transcripts.count()
 
@@ -144,6 +150,7 @@ def run_scaling(sf_dir: str) -> dict:
     """Alternate the two parallelism levels (steal bursts on this host last
     minutes, so interleaving + min-of-runs de-noises the comparison)."""
     results: dict[int, list] = {8: [], 32: []}
+    errors: list[dict] = []
     for cpus in (8, 32, 8, 32):
         env = dict(
             os.environ,
@@ -153,11 +160,22 @@ def run_scaling(sf_dir: str) -> dict:
             SYMSPARK_BENCH_QUERIES="0",
             SYMSPARK_BENCH_REPLICATE=os.environ.get("SYMSPARK_BENCH_REPLICATE", "8"),
         )
+        print(f"[scaling] local[{cpus}] starting", file=sys.stderr, flush=True)
         out = subprocess.run(
-            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+            [sys.executable, __file__], env=env, capture_output=True, text=True
         )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus].append(json.loads(line))
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if out.returncode != 0 or not lines:
+            # a failed level must not destroy the siblings' measurements
+            errors.append({"cpus": cpus, "rc": out.returncode, "stderr_tail": out.stderr[-2000:]})
+            print(f"[scaling] local[{cpus}] FAILED rc={out.returncode}", file=sys.stderr, flush=True)
+            continue
+        results[cpus].append(json.loads(lines[-1]))
+        print(f"[scaling] local[{cpus}] done: {results[cpus][-1]['value']} turns/s",
+              file=sys.stderr, flush=True)
+    if not results[8] or not results[32]:
+        return {"error": "a parallelism level produced no successful runs", "errors": errors,
+                "runs": results}
     t8 = max(r["value"] for r in results[8])
     t32 = max(r["value"] for r in results[32])
     return {
@@ -166,6 +184,7 @@ def run_scaling(sf_dir: str) -> dict:
         "tput_32": t32,
         "efficiency": round(t32 / (4 * t8), 3),
         "runs": results,
+        "errors": errors,
     }
 
 

@@ -223,9 +223,8 @@ def test_prepare_dims_large_store_path(spark, fixture_dir):
     }
     assert agg_small == agg_large
 
-    # auto localizes the fixture-small dims: the dim plan is a driver-local
-    # relation (LogicalRDD/LocalRelation), not a distributed file scan
+    # auto pins the fixture-small dims: the dim plan reads the executor
+    # cache (InMemoryRelation), not the underlying file scan, per action
     auto = pl.prepare_dims(lookups, localize="auto")
     plan = auto.sourcemap[1]._jdf.queryExecution().optimizedPlan().toString()
-    assert any(k in plan for k in ("LogicalRDD", "LocalRelation", "LocalTableScan"))
-    assert "FileScan" not in plan and "Relation [" not in plan
+    assert "InMemoryRelation" in plan
