@@ -146,12 +146,55 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def _mc_worker(_):
+    import hashlib, time as _t
+
+    t0 = _t.perf_counter()
+    h = b"x"
+    for _ in range(400000):
+        h = hashlib.md5(h).digest()
+    return _t.perf_counter() - t0
+
+
+def multicore_calibration(workers: int = 8) -> float:
+    """Slowest-of-N CONCURRENT single-core workloads (seconds).
+
+    The host's degradation mode is lock-holder preemption: single-threaded
+    work reads quiet (cpu_calibration ~0.23s) while concurrent work burns
+    guest sys-time in spinlocks (vmstat sy ~90% during storms).  Only a
+    multi-core probe detects it: quiet ~0.25-0.35s, storm >1s."""
+    from multiprocessing import Pool
+
+    with Pool(workers) as p:
+        return round(max(p.map(_mc_worker, range(workers))), 3)
+
+
+def wait_for_quiet(threshold: float = 0.5, max_wait_s: int = 1800) -> float:
+    """Block until the multi-core probe reads quiet (or give up after
+    max_wait_s).  Storms last multi-minute stretches; measuring through one
+    produces garbage scaling numbers, so waiting beats retrying."""
+    waited = 0
+    while True:
+        c = multicore_calibration()
+        if c <= threshold or waited >= max_wait_s:
+            if c > threshold:
+                print(f"[scaling] host still noisy after {waited}s (probe {c}s); "
+                      "proceeding anyway", file=sys.stderr, flush=True)
+            return c
+        print(f"[scaling] host noisy (multicore probe {c}s > {threshold}s); "
+              f"waiting 60s (waited {waited}s)", file=sys.stderr, flush=True)
+        time.sleep(60)
+        waited += 60
+
+
 def run_scaling(sf_dir: str) -> dict:
-    """Alternate the two parallelism levels (steal bursts on this host last
-    minutes, so interleaving + min-of-runs de-noises the comparison)."""
+    """Alternate the two parallelism levels (storm bursts on this host last
+    minutes, so interleaving + a pre-run multi-core quietness gate +
+    max-throughput-of-runs de-noises the comparison)."""
     results: dict[int, list] = {8: [], 32: []}
     errors: list[dict] = []
     for cpus in (8, 32, 8, 32):
+        probe = wait_for_quiet()
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
@@ -170,8 +213,14 @@ def run_scaling(sf_dir: str) -> dict:
             errors.append({"cpus": cpus, "rc": out.returncode, "stderr_tail": out.stderr[-2000:]})
             print(f"[scaling] local[{cpus}] FAILED rc={out.returncode}", file=sys.stderr, flush=True)
             continue
-        results[cpus].append(json.loads(lines[-1]))
-        print(f"[scaling] local[{cpus}] done: {results[cpus][-1]['value']} turns/s",
+        r = json.loads(lines[-1])
+        r["quiet_probe_sec"] = probe
+        # a storm that starts mid-run still poisons the sample; stamp the
+        # post-run probe too so max-of-runs can prefer clean samples
+        r["quiet_probe_after_sec"] = multicore_calibration()
+        results[cpus].append(r)
+        print(f"[scaling] local[{cpus}] done: {r['value']} turns/s "
+              f"(probe {probe}/{r['quiet_probe_after_sec']}s)",
               file=sys.stderr, flush=True)
     if not results[8] or not results[32]:
         return {"error": "a parallelism level produced no successful runs", "errors": errors,

@@ -187,6 +187,46 @@ def test_streaming_windowed_metrics(spark, stream_input, tmp_path):
     assert all(r["n"] > 0 for r in rows)
 
 
+def test_streaming_conversation_state(spark, fixture_dir, stream_input, tmp_path):
+    """applyInPandasWithState: the LAST cumulative snapshot per conversation
+    must equal the batch groupBy totals, across multiple micro-batches."""
+    from symspark.streaming.stream import streaming_conversation_state
+
+    updates = streaming_conversation_state(spark, stream_input, max_files_per_trigger=4)
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cs_ckpt"))
+        .start()
+    )
+    # default NoTimeout: the availableNow query self-terminates after the
+    # input drains (a quiet_timeout_ms query is continuous - see docstring)
+    assert q.awaitTermination(300)
+    got = spark.sql(
+        """select conv_id, max(turns) as turns, max(routed_turns) as routed_turns
+           from conv_state group by conv_id"""
+    ).collect()
+    from symspark.operators import route as route_op
+    from symspark.config import DEFAULT_CONFIG
+
+    t = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    expected = {
+        r["conv_id"]: (r["turns"], r["routed"])
+        for r in route_op.gate_and_route(t, DEFAULT_CONFIG)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum((F.col("route") != "skip").cast("long")).alias("routed"),
+        )
+        .collect()
+    }
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r["turns"], r["routed_turns"]) == expected[r["conv_id"]], r["conv_id"]
+
+
 def test_multimodal_features(spark):
     from symspark import multimodal
 
