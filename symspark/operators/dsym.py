@@ -89,13 +89,20 @@ def enrich_apple(
     uuid, bin_ = F.col("ds_q_uuid"), F.col("ds_q_bin")
     addr = F.col("addr")
     store_miss = F.col("dss_hit").isNull()
-    matched = F.try_element_at(
-        F.filter(
-            F.col("ds_ranges"),
-            lambda r: (addr >= r["sym_start_addr"]) & (addr <= r["sym_end_addr"]),
+    # materialize the range lookup ONCE (same rationale as sourcemap.py
+    # sm_tok: interpreted HOF trees duplicate per python-side reference -
+    # this one showed 26 copies of the per-frame range scan in the plan)
+    frames = frames.withColumn(
+        "ds_match",
+        F.try_element_at(
+            F.filter(
+                F.col("ds_ranges"),
+                lambda r: (addr >= r["sym_start_addr"]) & (addr <= r["sym_end_addr"]),
+            ),
+            F.lit(1),
         ),
-        F.lit(1),
     )
+    matched = F.col("ds_match")
     locs = matched["locs"]
     # FetchError text: dsymprocessor/symbolicator.go:23-25 wrapping store.go:28-38
     fetch_err = F.format_string(
@@ -162,5 +169,5 @@ def enrich_apple(
         )),
     ]
     return fill_outcomes(frames, apple_branches + mk_branches).drop(
-        "dss_hit", "ds_ranges", "ds_q_uuid", "ds_q_bin"
+        "dss_hit", "ds_ranges", "ds_q_uuid", "ds_q_bin", "ds_match"
     )

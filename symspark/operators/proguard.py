@@ -77,13 +77,19 @@ def enrich_jvm(
         F.lit(1),
     )
     # store hit but unknown class/method/line-range -> RemapFrame returns 0
-    # frames -> keep original (log_processor.go:275-293)
-    mapped = F.coalesce(
-        matched["mapped"],
-        F.array().cast(
-            "array<struct<class_name:string,method_name:string,source_file:string,line_number:bigint>>"
+    # frames -> keep original (log_processor.go:275-293).  Materialized ONCE
+    # (same rationale as sourcemap.py sm_tok: interpreted HOF trees
+    # duplicate per python-side reference - 12 copies observed here)
+    frames = frames.withColumn(
+        "pg_mapped",
+        F.coalesce(
+            matched["mapped"],
+            F.array().cast(
+                "array<struct<class_name:string,method_name:string,source_file:string,line_number:bigint>>"
+            ),
         ),
     )
+    mapped = F.col("pg_mapped")
     has_mapped = F.size(mapped) > 0
 
     keep_chunk = (
@@ -132,4 +138,4 @@ def enrich_jvm(
             chunk=F.col("raw"), f_failed=F.lit(False), proc_inc=F.lit(0), fail_inc=F.lit(0)
         )),
     ]
-    return fill_outcomes(frames, branches).drop("pgs_hit", "pg_ranges")
+    return fill_outcomes(frames, branches).drop("pgs_hit", "pg_ranges", "pg_mapped")

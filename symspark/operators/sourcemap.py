@@ -178,7 +178,16 @@ def enrich_js(
     summary_prev = F.try_element_at(
         F.filter(F.col("sm_lines"), lambda e: e["line"] < q_row), F.lit(-1)
     )["last_tok"]
-    tok = F.coalesce(in_line, F.col("sm_prev"), summary_prev)
+    # materialize the as-of result ONCE: array higher-order functions are
+    # interpreted (CodegenFallback), and every python-side reference to this
+    # expression tree would duplicate the whole per-frame array scan in the
+    # projection (observed: 8 copies of each filter -> allocation storm, GC
+    # collapse at high thread counts).  A multi-referenced non-cheap alias
+    # survives CollapseProject, so downstream reads are attribute lookups.
+    frames = frames.withColumn(
+        "sm_tok", F.coalesce(in_line, F.col("sm_prev"), summary_prev)
+    )
+    tok = F.col("sm_tok")
 
     err = (
         F.when(col_bad, F.format_string("column must be uint32: %d", col))
@@ -229,5 +238,5 @@ def enrich_js(
     ]
     return fill_outcomes(frames, branches).drop(
         "sms_hit", "sms_err", "sm_toks", "sm_prev", "sm_lines",
-        "sm_base", "sm_query", "sm_url_base"
+        "sm_base", "sm_query", "sm_url_base", "sm_tok"
     )

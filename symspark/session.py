@@ -31,7 +31,10 @@ def get_spark(
     n_threads = 32
     if master.startswith("local[") and master[6:-1].isdigit():
         n_threads = int(master[6:-1])
-    default_mem = f"{min(96, 6 + 2 * n_threads)}g"
+    # capped at 24g: G1 young pauses on this class of host scale with heap
+    # (observed: 70g heap -> 611ms avg young pause, 114s GC per bench run;
+    # 24g -> 10-40ms pauses, ~5s GC) and the pipeline's live set is ~10g
+    default_mem = f"{min(24, 6 + 2 * n_threads)}g"
     # Scan split sizing: the cluster default (128m bins + 4m file-open
     # cost) packs a small-fixture multi-file table into ~2 input
     # partitions, serializing the whole scan->parse->join mega-stage no
@@ -61,14 +64,29 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SYMSPARK_DRIVER_MEM", default_mem))
         # the fused explode-stage consume method lands just over HotSpot's
-        # 8KB JIT ceiling; without this flag it runs interpreted (~10x cost)
-        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # 8KB JIT ceiling; without this flag it runs interpreted (~10x cost).
+        # SYMSPARK_JAVA_OPTS appends extra flags (e.g. GC tuning experiments)
+        .config(
+            "spark.driver.extraJavaOptions",
+            ("-XX:-DontCompileHugeMethods " + os.environ.get("SYMSPARK_JAVA_OPTS", "")).strip(),
+        )
         # collect_list groups (one per record) always exceed the 128-entry
         # object-hash-aggregate default, which forces a sort per partition
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
         .config("spark.sql.files.maxPartitionBytes", max_part)
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", os.environ.get("SYMSPARK_UI", "false"))
     )
+    if master.startswith("local["):
+        # Local-mode shuffle is node-local disk/page-cache: compression buys
+        # nothing and its JNI codec holds GetPrimitiveArrayCritical, so at
+        # high thread counts every young GC becomes "GCLocker Initiated" and
+        # allocation stalls serialize the job (observed: 36% of task time in
+        # GC with compression on, ~2% off; 2.3x end-to-end).  A real cluster
+        # shuffles over the network and keeps the default (lz4) compression.
+        builder = (
+            builder.config("spark.shuffle.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
