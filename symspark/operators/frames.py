@@ -109,8 +109,17 @@ def attach_parsed(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     (others pass NULL through Arrow)."""
     route = F.col(cfg.route_col)
     in_udf = route.isin(*_UDF_ROUTES)
+    # the MetricKit path reads the MetricKit attribute when present
+    # (logs_processor.go:344 — even in the eventName-routed case); the
+    # flattened transcript model falls back to text when the attribute is
+    # absent (SURVEY.md §1.3)
+    mk_src = (
+        F.coalesce(F.col(cfg.metrickit_stack_trace_col), F.col("text"))
+        if cfg.metrickit_stack_trace_col in df.columns
+        else F.col("text")
+    )
     udf_parsed = parse_stack_udf(
-        F.when(in_udf, F.col("text")),
+        F.when(in_udf & (route == "mk"), mk_src).when(in_udf, F.col("text")),
         F.when(in_udf, route),
         F.col(cfg.exception_type_col),
         F.col(cfg.exception_message_col),

@@ -66,9 +66,19 @@ def gate_and_route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         & F.col(cfg.jvm_source_files_col).isNotNull()
     )
     is_mk = apple_ok & F.col(cfg.event_name_col).startswith("metrickit.diagnostic.")
+    # Backwards-compat leg (dsymprocessor/logs_processor.go:113-117): no
+    # stack-trace attribute, but the MetricKit attribute is present -> the
+    # record still takes the MetricKit path.
+    mk_attr = (
+        F.col(cfg.metrickit_stack_trace_col)
+        if cfg.metrickit_stack_trace_col in df.columns
+        else F.lit(None).cast("string")
+    )
+    is_mk_legacy = apple_ok & ~has_st & mk_attr.isNotNull()
 
     route = (
-        F.when(~has_st, F.lit("skip"))
+        F.when(is_mk_legacy, F.lit("mk"))
+        .when(~has_st, F.lit("skip"))
         .when(is_mk, F.lit("mk"))
         .when(apple_ok, F.lit("apple"))
         .when(js_ok & js_structured, F.lit("js_structured"))

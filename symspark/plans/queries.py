@@ -35,6 +35,34 @@ def _dsum(col):
     return F.round(F.sum(col.cast("decimal(38,6)")), 2).cast("double")
 
 
+# --- tracked persist: the dedup/ANN builders cache narrow intermediates so
+# the self-joins don't recompute them per side/band; a registry keeps the
+# session from accumulating cached RDDs across catalog sweeps (each
+# _persist call first releases every frame the PREVIOUS builder pinned, and
+# release_caches() gives drivers an explicit hook).
+_PERSISTED: list[DataFrame] = []
+_PERSIST_OWNER: list[str] = [""]
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame the catalog builders have pinned."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    _PERSIST_OWNER[0] = ""
+
+
+def _persist(df: DataFrame, owner: str) -> DataFrame:
+    if _PERSIST_OWNER[0] != owner:
+        release_caches()
+        _PERSIST_OWNER[0] = owner
+    out = df.persist()
+    _PERSISTED.append(out)
+    return out
+
+
 SPARK_QUERIES = {}
 ORACLE_SQL = {}
 
@@ -307,9 +335,14 @@ def _set_ops(spark, sf_dir):
         .distinct()
         .withColumn("has_o", F.lit(1))
     )
+    # coalesce: sum over zero rows is NULL, the oracle's COUNT yields 0
     return c.join(o, "k", "left").agg(
-        F.sum(F.when(F.col("has_o").isNull(), 1).otherwise(0)).alias("only_customers"),
-        F.sum(F.when(F.col("has_o").isNotNull(), 1).otherwise(0)).alias("both_sets"),
+        F.coalesce(
+            F.sum(F.when(F.col("has_o").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("only_customers"),
+        F.coalesce(
+            F.sum(F.when(F.col("has_o").isNotNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("both_sets"),
     )
 
 
@@ -448,8 +481,8 @@ def _dedup_minhash(spark, sf_dir):
     docs = (
         d.filter(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", F.array_distinct(_shingles_spark()).alias("sh"))
-        .persist()
     )
+    docs = _persist(docs, "dedup_minhash_lsh")
     sh = F.col("sh")
     nsig = _LSH_BANDS * _LSH_ROWS
 
@@ -468,9 +501,10 @@ def _dedup_minhash(spark, sf_dir):
         F.concat_ws("|", *[F.col(f"sig{_LSH_ROWS * k + j}") for j in range(_LSH_ROWS)])
         for k in range(_LSH_BANDS)
     ]
-    bands = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key")
-    ).persist()
+    bands = _persist(
+        sigs.select("doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key")),
+        "dedup_minhash_lsh",
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -533,9 +567,12 @@ def _dedup_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # per-doc word-set arrays: the ONLY persisted base (narrow scan, no
     # shuffle); feeds the inverted-index explode twice and the verify stage
-    docs = d.select(
-        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("ws")
-    ).persist()
+    docs = _persist(
+        d.select(
+            "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("ws")
+        ),
+        "dedup_ngram_jaccard",
+    )
     wl = docs.select(
         "doc_id", "lang", "source", F.size("ws").alias("n"), F.explode("ws").alias("word")
     )
@@ -767,9 +804,12 @@ def _dedup_embedding(spark, sf_dir):
     checks the implementation; cross-bucket recall is the standard LSH
     trade-off, tunable with more hyperplanes/tables."""
     t = 0.35
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _bucket_expr().alias("bucket")
-    ).persist()
+    e = _persist(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", _bucket_expr().alias("bucket")
+        ),
+        "dedup_embedding_cosine",
+    )
     a, b = e.alias("a"), e.alias("b")
     sim = _cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (

@@ -30,6 +30,9 @@ TRANSCRIPTS_SCHEMA = T.StructType(
         # record-level attributes
         T.StructField("language", T.StringType(), True),
         T.StructField("event_name", T.StringType(), True),
+        # legacy MetricKit attribute: JSON report in its own attribute with no
+        # stack-trace attribute present (dsymprocessor/logs_processor.go:113-117)
+        T.StructField("metrickit_stacktrace_json", T.StringType(), True),
         T.StructField("exception_type", T.StringType(), True),
         T.StructField("exception_message", T.StringType(), True),
         # structured stack-trace arrays, JS (README.md:36-52)

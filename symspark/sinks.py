@@ -12,13 +12,19 @@ jar (``format="iceberg"`` + ``saveAsTable``), else a parquet directory
 layout with identical partitioning (the in-sandbox fallback; SURVEY.md §7
 Stage 4).
 
-Resumability: the input is processed in conv_id hash buckets; each bucket
-writes to its own ``bucket=NNNNN`` subdirectory with overwrite semantics,
-THEN commits a manifest JSON (bucket id, row counts, per-sink counters,
-lineage) via atomic rename.  On restart, completed buckets are skipped and
-a bucket that crashed between write and manifest is simply re-overwritten
-— the redo is idempotent, so the manifest protocol is exactly-once at the
-bucket level.  A driver-side protocol, deliberately not a Spark concern.
+Resumability: the output is partitioned by conv_id hash bucket; ONE
+pipeline pass writes every remaining ``bucket=NNNNN`` partition via
+dynamic partition overwrite, then a manifest JSON per bucket (row counts,
+per-sink counters, lineage) commits via atomic rename.  On restart,
+completed (manifested) buckets are filtered out at the input scan and the
+in-flight ones are re-overwritten — the redo is idempotent, so the
+manifest protocol is exactly-once at the bucket level.  A driver-side
+protocol, deliberately not a Spark concern.
+
+Layout note: a ``base_path`` holds ONE sink layout — either flat
+``write_fanout`` output (``sinks/route=…``) or bucketed/streaming output
+(``sinks/bucket=…`` / ``sinks/batch=…``).  Mixing both under one root
+breaks parquet partition discovery; use a fresh base_path per protocol.
 """
 
 from __future__ import annotations
@@ -93,8 +99,11 @@ def write_fanout_iceberg(
 
 
 def read_sink(spark: SparkSession, base_path: str, route: str, outcome: str) -> DataFrame:
-    """Partition-pruned read of one routed sink."""
-    df = spark.read.parquet(os.path.join(base_path, "sinks"))
+    """Partition-pruned read of one routed sink.  Works on both the flat
+    (``sinks/route=…``) and bucketed (``sinks/bucket=…/route=…``) layouts —
+    but not on a root that mixes them (see module docstring)."""
+    root = os.path.join(base_path, "sinks")
+    df = spark.read.option("basePath", root).parquet(root)
     return df.where((F.col("route") == route) & (F.col("outcome") == outcome))
 
 
@@ -134,53 +143,85 @@ def run_checkpointed(
 
     Returns a summary dict {buckets_run, buckets_skipped, rows}.
     """
-    from symspark.pipeline import run_pipeline, sink_aggregates
+    from symspark.pipeline import run_pipeline
 
     os.makedirs(os.path.join(base_path, "_manifests"), exist_ok=True)
     done = completed_buckets(base_path)
-    bucket_col = F.pmod(F.xxhash64(cfg.conv_id_col), F.lit(n_buckets))
+    todo = [b for b in range(n_buckets) if b not in done]
+    if not todo:
+        return {"buckets_run": 0, "buckets_skipped": len(done), "rows": 0}
+
+    bucket_int = F.pmod(F.xxhash64(cfg.conv_id_col), F.lit(n_buckets)).cast("int")
+
+    # ONE input scan + ONE pipeline DAG for every remaining bucket (the
+    # round-2 per-bucket filter loop scanned the fact table n_buckets
+    # times).  Completed buckets are filtered out at the scan, the bucket
+    # id becomes a partition column, and dynamic partition overwrite
+    # replaces exactly the in-flight bucket=NNNNN directories - a crash
+    # mid-write leaves only unmanifested partitions, which the resume
+    # re-overwrites identically (idempotent redo, same protocol).
+    part = transcripts if not done else transcripts.where(bucket_int.isin(todo))
+    enriched = run_pipeline(part, lookups, cfg)
+    with_bucket = enriched.withColumn("bucket", F.format_string("%05d", bucket_int))
+
+    sinks_root = os.path.join(base_path, "sinks")
+    conf = enriched.sparkSession.conf
+    prev_mode = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        with_bucket.write.mode("overwrite").partitionBy(
+            "bucket", "route", "outcome"
+        ).parquet(sinks_root)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    # per-bucket counters from the WRITTEN output (partition-pruned read of
+    # this run's buckets - output-sized, never a second input scan)
+    run_dirs = [
+        p for p in (os.path.join(sinks_root, f"bucket={b:05d}") for b in todo)
+        if os.path.isdir(p)
+    ]
+    per_bucket: dict[int, dict] = {b: {} for b in todo}
+    if run_dirs:
+        written = spark.read.option("basePath", sinks_root).parquet(*run_dirs)
+        for r in (
+            written.groupBy("bucket", cfg.sink_col)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.coalesce(F.col("frames_processed"), F.lit(0))).alias("frames_processed"),
+                F.sum(F.coalesce(F.col("frames_failed"), F.lit(0))).alias("frames_failed"),
+                F.sum(F.coalesce(F.col("fetch_failures"), F.lit(0))).alias("fetch_failures"),
+            )
+            .collect()
+        ):
+            per_bucket[int(r["bucket"])][r[cfg.sink_col]] = {
+                "rows": r["rows"],
+                "frames_processed": r["frames_processed"],
+                "frames_failed": r["frames_failed"],
+                "fetch_failures": r["fetch_failures"],
+            }
 
     ran, rows_total = 0, 0
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        part = transcripts.where(bucket_col == b)
-        enriched = run_pipeline(part, lookups, cfg)
-        enriched = enriched.persist()
-        try:
-            # bucket-scoped overwrite: a crash AFTER the write commits but
-            # BEFORE the manifest lands just re-overwrites the same bucket
-            # directory on resume - no duplicate rows (idempotent redo)
-            write_fanout(enriched, base_path, subdir=f"bucket={b:05d}", mode="overwrite")
-            counters = {
-                r[cfg.sink_col]: {
-                    "rows": r["rows"],
-                    "frames_processed": r["frames_processed"],
-                    "frames_failed": r["frames_failed"],
-                    "fetch_failures": r["fetch_failures"],
-                }
-                for r in sink_aggregates(enriched, cfg).collect()
-            }
-            rows = sum(c["rows"] for c in counters.values())
-            manifest = {
-                "bucket": b,
-                "n_buckets": n_buckets,
-                "rows": rows,
-                "sinks": counters,
-                "lineage": {
-                    "input": input_lineage,
-                    "engine": "symspark",
-                    "committed_at_epoch": int(time.time()),
-                },
-            }
-            tmp = _manifest_path(base_path, b) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f, indent=1, sort_keys=True)
-            os.replace(tmp, _manifest_path(base_path, b))  # atomic commit
-            ran += 1
-            rows_total += rows
-        finally:
-            enriched.unpersist()
+    for b in todo:
+        counters = per_bucket[b]
+        rows = sum(c["rows"] for c in counters.values())
+        manifest = {
+            "bucket": b,
+            "n_buckets": n_buckets,
+            "rows": rows,
+            "sinks": counters,
+            "lineage": {
+                "input": input_lineage,
+                "engine": "symspark",
+                "committed_at_epoch": int(time.time()),
+            },
+        }
+        tmp = _manifest_path(base_path, b) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, _manifest_path(base_path, b))  # atomic commit
+        ran += 1
+        rows_total += rows
     return {"buckets_run": ran, "buckets_skipped": len(done), "rows": rows_total}
 
 

@@ -300,7 +300,8 @@ def gen_transcripts(n_turns: int = 6000) -> pa.Table:
 
     cols: dict[str, list] = {name: [] for name in (
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
-        "language", "event_name", "exception_type", "exception_message",
+        "language", "event_name", "metrickit_stacktrace_json",
+        "exception_type", "exception_message",
         "st_columns", "st_functions", "st_lines", "st_urls",
         "st_classes", "st_methods", "st_jvm_lines", "st_source_files",
         "source_map_uuid", "build_uuid", "app_executable", "proguard_uuid",
@@ -341,11 +342,16 @@ def gen_transcripts(n_turns: int = 6000) -> pa.Table:
                     text_kind = "java_structured" if kind_roll >= 85 else "java"
                 else:
                     text_kind = "metrickit" if kind_roll >= 83 else "apple"
+            elif lang == "swift" and 52 <= kind_roll < 55:
+                # legacy MetricKit: JSON in its own attribute, no stack trace
+                # in text (dsymprocessor/logs_processor.go:113-117)
+                text_kind = "metrickit_legacy"
 
             st_cols = st_funcs = st_lines = st_urls = None
             st_classes = st_methods = st_jvm_lines = st_srcs = None
             event_name = None
             exc_type = exc_msg = None
+            mk_json = None
 
             if text_kind == "prose":
                 text = _prose(seed)
@@ -381,6 +387,9 @@ def gen_transcripts(n_turns: int = 6000) -> pa.Table:
             elif text_kind == "metrickit":
                 text = _metrickit_text(seed) if seed % 11 else '{"callStacks": [}'
                 event_name = "metrickit.diagnostic.crash"
+            elif text_kind == "metrickit_legacy":
+                text = _prose(seed)
+                mk_json = _metrickit_text(seed) if seed % 13 else '{"callStacks": [}'
             else:
                 text = _malformed_text(seed)
 
@@ -392,6 +401,7 @@ def gen_transcripts(n_turns: int = 6000) -> pa.Table:
             cols["ts"].append(EPOCH + _dt.timedelta(minutes=int(_h("ts", conv_id, t) % 525600)))
             cols["language"].append(lang)
             cols["event_name"].append(event_name)
+            cols["metrickit_stacktrace_json"].append(mk_json)
             cols["exception_type"].append(exc_type)
             cols["exception_message"].append(exc_msg)
             cols["st_columns"].append(st_cols)
@@ -417,6 +427,7 @@ def gen_transcripts(n_turns: int = 6000) -> pa.Table:
             ("ts", pa.timestamp("us", tz="UTC")),
             ("language", pa.string()),
             ("event_name", pa.string()),
+            ("metrickit_stacktrace_json", pa.string()),
             ("exception_type", pa.string()),
             ("exception_message", pa.string()),
             ("st_columns", pa.list_(pa.int64())),

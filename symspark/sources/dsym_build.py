@@ -93,6 +93,7 @@ def parse_breakpad_sym(text: str) -> tuple[str, str, list[dict]]:
             ]
             inlines.append(
                 {
+                    "depth": int(parts[1]),
                     "call_line": int(parts[2]),
                     "call_file": int(parts[3]),
                     "origin": int(parts[4]),
@@ -112,14 +113,19 @@ def parse_breakpad_sym(text: str) -> tuple[str, str, list[dict]]:
 
     def inline_chain(addr: int) -> list[tuple[str, int, int]]:
         """(origin_name, call_line, call_file) for inline ranges covering
-        addr, outermost caller's call-site first."""
+        addr, INNERMOST first (highest Breakpad nest depth first).  Each
+        entry's call_line/call_file locate the call site inside the next
+        frame out, so depth order is load-bearing for line attribution."""
         hits = []
         for inl in inlines:
             for lo, sz in inl["ranges"]:
                 if lo <= addr < lo + sz:
-                    hits.append((origins.get(inl["origin"], "?"), inl["call_line"], inl["call_file"]))
+                    hits.append(
+                        (inl["depth"], origins.get(inl["origin"], "?"), inl["call_line"], inl["call_file"])
+                    )
                     break
-        return hits
+        hits.sort(key=lambda h: -h[0])
+        return [(name, call_line, call_file) for _, name, call_line, call_file in hits]
 
     rows: list[dict] = []
 

@@ -39,6 +39,33 @@ def test_inline_chain_innermost_first():
     assert locs[1]["line"] == 42 and locs[1]["path"] == "/src/MyFile.swift"
 
 
+NESTED_SYM = """\
+MODULE mac arm64 4C4C4408AAAA3333BBBB111122223333a MyApp
+FILE 0 /src/F.swift
+FILE 1 /src/Outer.swift
+INLINE_ORIGIN 1 outer_inline
+INLINE_ORIGIN 2 inner_inline
+FUNC 4000 30 0 f
+INLINE 0 10 0 1 4010 10
+INLINE 1 20 1 2 4010 8
+4010 8 99 1
+"""
+
+
+def test_nested_inline_depth_order():
+    """Depth-1 INLINE is INNERMOST: chain must be [inner@LINE, outer@inner's
+    call site, f@outer's call site] regardless of file order of the INLINE
+    records (Breakpad nest level, advisor round-2 repro)."""
+    _, _, rows = parse_breakpad_sym(NESTED_SYM)
+    r = {(x["sym_start_addr"], x["sym_end_addr"]): x for x in rows}
+    locs = r[(0x4010, 0x4017)]["locs"]
+    assert [(l["symbol"], l["line"], l["path"]) for l in locs] == [
+        ("inner_inline", 99, "/src/Outer.swift"),
+        ("outer_inline", 20, "/src/Outer.swift"),
+        ("f", 10, "/src/F.swift"),
+    ]
+
+
 def test_func_without_lines_and_public_tail():
     _, _, rows = parse_breakpad_sym(SYM)
     r = {(x["sym_start_addr"], x["sym_end_addr"]): x for x in rows}

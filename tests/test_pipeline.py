@@ -118,6 +118,14 @@ ROWS = [
               f'{{"binaryName":"{BIN}","binaryUUID":"{KNOWN}","offsetIntoBinaryTextSegment":1500,'
               f'"subFrames":[{{"binaryName":"{BIN}","binaryUUID":"{KNOWN}","offsetIntoBinaryTextSegment":2500}}]}}'
               "]}]}")),
+    # legacy MetricKit attribute, no stack trace in text
+    # (dsymprocessor/logs_processor.go:113-117)
+    row("mk6", language="swift", text="plain prose, no trace here",
+        metrickit_stacktrace_json=('{"callStacks":[{"callStackFrames":['
+                                   f'{{"binaryName":"{BIN}","binaryUUID":"{KNOWN}","offsetAddress":1500}}'
+                                   "]}]}")),
+    row("mk7", language="swift", text="plain prose, no trace here",
+        metrickit_stacktrace_json='{"callStacks": [}'),
     row("skip1", language="javascript", text="just some plain prose with no trace"),
     row("skip2", language="other", text=f"Error: x\n    at foo ({APP}:10:15)"),
     row("skip3", language=None, text="java.lang.E: x\n\tat a.a.a(SourceFile:42)"),
@@ -415,6 +423,30 @@ def test_mk_recursive_subframes(results):
         f"{BIN}\t\t\t0x5DC func_1 (/src/MyFile.swift:2) + 1000\n"
         f"    {BIN}\t\t\t0x9C4 func_2 (/src/MyFile.swift:3) + 2000"
     )
+
+
+def test_mk_legacy_attribute_routes(results):
+    """No stack-trace attr + MetricKit attr present -> MetricKit path
+    (logs_processor.go:113-117); the attribute itself passes through."""
+    r = results["mk6"]
+    assert r["route"] == "mk"
+    assert r["text"] == f"{BIN}\t\t\t0x5DC func_1 (/src/MyFile.swift:2) + 1000"
+    assert r["exception_symbolicator_failed"] is False
+    assert r["metrickit_stacktrace_json"] == (
+        '{"callStacks":[{"callStackFrames":['
+        f'{{"binaryName":"{BIN}","binaryUUID":"{KNOWN}","offsetAddress":1500}}'
+        "]}]}"
+    )
+    assert r["sink"] == "mk/ok"
+
+
+def test_mk_legacy_invalid_json(results):
+    r = results["mk7"]
+    assert r["route"] == "mk"
+    assert r["exception_symbolicator_failed"] is True
+    assert r["exception_symbolicator_error"].startswith("invalid MetricKit JSON")
+    assert r["text"] == input_text("mk7")  # untouched on failure
+    assert r["metrickit_stacktrace_json"] == '{"callStacks": [}'
 
 
 def test_skip_rows(results):

@@ -65,6 +65,20 @@ def test_rows_only_queries_run(spark, name):
     assert df.count() >= 0
 
 
+def test_no_persisted_rdds_after_catalog_sweep(spark):
+    """The dedup/ANN builders pin narrow intermediates; a catalog sweep must
+    not leak cached RDDs into the session (round-2 advisor finding)."""
+    from symspark.plans import queries as Q
+
+    Q.release_caches()  # drop pins left by earlier tests' builders
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine"):
+        QUERIES[name](spark, SF_DIR).collect()
+    Q.release_caches()
+    # back to the pre-sweep count (other fixtures may hold their own pins)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 def test_ann_lsh_topk_recall(spark):
     """The LSH scale path must beat random-candidate recall by a wide
     margin: hamming<=1 multiprobe touches 5/16 of the corpus (random
