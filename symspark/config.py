@@ -99,6 +99,12 @@ class PipelineConfig:
     # orientation (the engine default); True = byte-match the reference.
     sourcemap_reference_compat: bool = False
 
+    # Parse engine: "sql" (default) parses the js/jvm/apple routes with
+    # JVM-side regexp expressions — Python workers only see MetricKit and
+    # Opera-marker rows; "udf" forces every parsed route through the Arrow
+    # UDF (the semantics oracle, used by the parity tests).
+    parse_engine: str = "sql"
+
     # --- scale knobs ---
     shuffle_partitions: int = 32
     skew_salt_buckets: int = 16  # salt modulus for hot conv_id mitigation

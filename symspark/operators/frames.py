@@ -105,10 +105,25 @@ def _structured_parsed(cfg: PipelineConfig, kind: str) -> Column:
 
 
 def attach_parsed(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Add the ``parsed`` column.  Only UDF-route rows ship text to Python
-    (others pass NULL through Arrow)."""
+    """Add the ``parsed`` column.
+
+    Default engine ("sql"): js / jvm / apple rows are parsed by JVM
+    regexp expressions (functions/parse_sql.py) — only MetricKit rows and
+    js rows carrying an Opera marker ship text to the Python UDF, so
+    Python-worker CPU stays out of the hot path.  ``cfg.parse_engine ==
+    "udf"`` routes every parsed row through the Arrow UDF instead (the
+    semantics oracle; tests pin sql == udf on the corpus)."""
+    from symspark.functions import parse_sql
+
     route = F.col(cfg.route_col)
     in_udf = route.isin(*_UDF_ROUTES)
+    if cfg.parse_engine == "sql":
+        text = F.col("text")
+        message = F.col(cfg.exception_message_col)
+        opera = F.coalesce(text, F.lit("")).rlike(parse_sql.RE_OPERA_MARKER) | F.coalesce(
+            message, F.lit("")
+        ).rlike(parse_sql.RE_OPERA_MARKER)
+        in_udf = (route == "mk") | ((route == "js") & opera)
     # the MetricKit path reads the MetricKit attribute when present
     # (logs_processor.go:344 — even in the eventName-routed case); the
     # flattened transcript model falls back to text when the attribute is
@@ -129,6 +144,20 @@ def attach_parsed(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .when(route == "js_structured", _structured_parsed(cfg, "js"))
         .when(route == "jvm_structured", _structured_parsed(cfg, "jvm"))
     )
+    if cfg.parse_engine == "sql":
+        # stage A: expensive per-line arrays, materialized ONCE as a
+        # multi-referenced non-cheap alias (survives CollapseProject)
+        df = df.withColumn(
+            "_pp", parse_sql.pre_parsed_expr(F.col("text"), route, ~in_udf)
+        )
+        parsed = parsed.when(
+            route.isin("js", "jvm", "apple"),
+            parse_sql.parsed_expr(
+                F.col("_pp"), route,
+                F.col(cfg.exception_type_col), F.col(cfg.exception_message_col),
+            ),
+        )
+        return df.withColumn("parsed", parsed).drop("_pp")
     return df.withColumn("parsed", parsed)
 
 
