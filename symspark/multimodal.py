@@ -1,16 +1,29 @@
 """Multimodal column plumbing (training-data pipeline ops).
 
 Images / audio / video ride as opaque ``binary`` columns with a typed
-metadata struct.  The decode step is STUBBED (codec libraries are not in
-this container): ``decode_stub=True`` produces deterministic fake features
-so the Spark-side plumbing — schema, partitioning, Arrow-batched
-``mapInPandas`` signature, batch shape — is real and tested; plugging in a
-real decoder only replaces ``_decode_one``.
+metadata struct; feature extraction runs Arrow-batched through
+``mapInPandas`` (whole batches in Python, no per-row serde).
+
+Decode status (container has no codec libraries — stdlib only):
+- REAL header decode for PNG (IHDR width/height), GIF (logical screen
+  size), and WAV (RIFF fmt/data chunks -> duration) — pure ``struct``
+  parsing, no new deps.  ``gen_media`` emits genuine tiny PNG/GIF/WAV
+  payloads built with ``zlib``/``struct`` so the real path is exercised
+  end-to-end.
+- Payloads in any other container (jpeg/mp4/...) keep the digest-derived
+  pseudo-feature with ``decode_ok=False`` and an explicit error — a real
+  pixel/sample decoder plugs in by extending ``decode_header`` /
+  ``_decode_one``.
+The ``feature`` vector itself is a deterministic payload-digest embedding
+stand-in for all kinds (an ML featurizer is model-dependent, not a Spark
+concern); the Spark-side schema, partitioning, and batch shape are real.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,36 +52,64 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id bigint, kind string, n_bytes int, sha1 string, "
+    "format string, width int, height int, duration_ms bigint, "
     "feature array<float>, decode_ok boolean, decode_error string"
 )
 
 FEATURE_DIM = 8
 
 
-def _decode_one(payload: bytes, kind: str, decode_stub: bool) -> tuple[list[float], str | None]:
-    """Decode + featurize one media payload.
+def decode_header(payload: bytes) -> dict | None:
+    """Parse real container headers with the stdlib.  Returns
+    {format, width, height, duration_ms} or None if unrecognized."""
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24 and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"format": "png", "width": w, "height": h, "duration_ms": None}
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": w, "height": h, "duration_ms": None}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, byte_rate, data_size = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if cid == b"fmt " and pos + 20 <= len(payload):
+                (byte_rate,) = struct.unpack("<I", payload[pos + 16 : pos + 20])
+            elif cid == b"data":
+                data_size = sz
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if byte_rate and data_size is not None:
+            return {
+                "format": "wav", "width": None, "height": None,
+                "duration_ms": data_size * 1000 // byte_rate,
+            }
+        return {"format": "wav", "width": None, "height": None, "duration_ms": None}
+    return None
 
-    Real decoders (PIL / torchaudio / pyav) are not installed in this
-    environment; the stub derives a deterministic pseudo-feature from the
-    payload digest so downstream plumbing is exercised end-to-end.
-    """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real media decode requires PIL/torchaudio/pyav — not available here"
-        )
-    if payload is None:
-        return None, "empty payload"
+
+def _feature(payload: bytes, kind: str) -> list[float]:
     digest = hashlib.sha256(kind.encode() + payload).digest()
-    feats = [int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(FEATURE_DIM)]
-    return feats, None
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(FEATURE_DIM)
+    ]
 
 
-def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """Arrow-batched feature extraction over the opaque payload column.
+def _decode_one(payload: bytes, kind: str) -> tuple[dict | None, list[float] | None, str | None]:
+    """(header_meta, feature, error) for one media payload."""
+    if payload is None:
+        return None, None, "empty payload"
+    hdr = decode_header(bytes(payload))
+    feats = _feature(bytes(payload), kind)
+    if hdr is None:
+        return None, feats, "unrecognized container format (no stdlib decoder)"
+    return hdr, feats, None
 
-    mapInPandas keeps whole Arrow batches in Python (no per-row serde); the
-    binary column arrives as a pandas ``bytes`` series.
-    """
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched header decode + feature extraction over the opaque
+    payload column."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,12 +121,21 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     lambda b: hashlib.sha1(b).hexdigest() if b is not None else None
                 ),
             }
-            feats, oks, errs = [], [], []
+            fmts, ws, hs, durs, feats, oks, errs = [], [], [], [], [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                f, err = _decode_one(payload, kind, decode_stub)
+                hdr, f, err = _decode_one(payload, kind)
+                hdr = hdr or {}
+                fmts.append(hdr.get("format"))
+                ws.append(hdr.get("width"))
+                hs.append(hdr.get("height"))
+                durs.append(hdr.get("duration_ms"))
                 feats.append(f)
                 oks.append(err is None)
                 errs.append(err)
+            out["format"] = fmts
+            out["width"] = pd.array(ws, dtype="Int32")
+            out["height"] = pd.array(hs, dtype="Int32")
+            out["duration_ms"] = pd.array(durs, dtype="Int64")
             out["feature"] = feats
             out["decode_ok"] = oks
             out["decode_error"] = errs
@@ -94,17 +144,57 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# --- real tiny fixtures (stdlib-built) --------------------------------------
+
+def make_png(width: int, height: int) -> bytes:
+    """Minimal valid grayscale PNG."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))  # filter 0 + pixels
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
+    """Minimal valid 8-bit mono PCM WAV of the given duration."""
+    n = sample_rate * duration_ms // 1000
+    data = bytes(n)  # silence
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """GIF header + logical screen descriptor (enough for header decode)."""
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
 def gen_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (fake payloads)."""
+    """Deterministic synthetic media table: real tiny PNG/GIF/WAV payloads
+    interleaved with opaque (undecodable) blobs."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.md5(f"media{i}".encode()).digest() * (1 + i % 5)
-        meta = {
-            "width": 64 + i if kind == "image" else None,
-            "height": 48 + i if kind == "image" else None,
-            "duration_ms": 1000 * (i + 1) if kind != "image" else None,
-        }
+        if kind == "image":
+            payload = make_png(4 + i % 8, 3 + i % 5) if i % 2 == 0 else make_gif(16 + i, 9 + i)
+            meta = {"width": None, "height": None, "duration_ms": None}
+        elif kind == "audio":
+            payload = make_wav(100 * (1 + i % 7))
+            meta = {"width": None, "height": None, "duration_ms": None}
+        else:  # no stdlib video container decoder: opaque blob
+            payload = hashlib.md5(f"media{i}".encode()).digest() * (1 + i % 5)
+            meta = {"width": None, "height": None, "duration_ms": 1000 * (i + 1)}
         rows.append((i, kind, f"x/{kind}", bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

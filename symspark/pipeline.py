@@ -125,6 +125,82 @@ def prepare_dims(lookups: Lookups, localize: bool | str = "auto") -> PreparedDim
     return PreparedDims(sourcemap=sm, proguard=pg, dsym=ds)
 
 
+# equi-join key columns of each pre-aggregated dim (the bucketing keys for
+# the large-store path; SURVEY.md §4 item 2)
+_DIM_BUCKET_KEYS = {
+    "sm_toks": ("sm_url_base", "sm_uuid"),
+    "sm_summary": ("smu_url_base", "smu_uuid"),
+    "sm_store": ("sms_url_base", "sms_uuid"),
+    "pg_ranges": ("pg_uuid", "pg_cls", "pg_method"),
+    "pg_store": ("pgs_uuid",),
+    "ds_ranges": ("ds_uuid", "ds_bin"),
+    "ds_store": ("dss_uuid", "dss_bin"),
+}
+
+
+def prepare_dims_bucketed(
+    spark: SparkSession,
+    lookups: Lookups,
+    n_buckets: int = 32,
+    prefix: str = "symspark_dim",
+    path: str | None = None,
+) -> PreparedDims:
+    """The LARGE-store join path: materialize each pre-aggregated dim as a
+    table bucketed on its equi-join keys, so enrichment joins read the dim
+    pre-partitioned — no dim-side shuffle per run, no broadcast build of a
+    store that doesn't fit one executor.  A genuinely huge symbol store is
+    written once and joined many times; only the fact side exchanges.
+
+    Writer: Iceberg ``bucket(n, key)`` transform when the runtime has the
+    iceberg jar (metadata survives across engines/sessions); otherwise
+    Spark-native bucketed parquet tables (``bucketBy``/``sortBy``/
+    ``saveAsTable`` — bucket metadata lives in the session catalog, which
+    covers the long-running-job deployment this path exists for).
+
+    ``path`` roots the table data (external tables); default is the
+    session warehouse dir.
+    """
+    from symspark import sinks as sinks_mod
+
+    sm = sourcemap.build_sourcemap_dims(lookups.sourcemap_tokens, lookups.sourcemap_store)
+    pg = proguard.build_proguard_dims(lookups.proguard_mapping, lookups.proguard_store)
+    ds = dsym.build_dsym_dims(lookups.dsym_symbols, lookups.dsym_store)
+    # build_sourcemap_dims returns (toks_by_line, store_dim, summary)
+    named = dict(
+        zip(("sm_toks", "sm_store", "sm_summary"), sm)
+    ) | dict(zip(("pg_ranges", "pg_store"), pg)) | dict(zip(("ds_ranges", "ds_store"), ds))
+
+    use_iceberg = sinks_mod.iceberg_available(spark)
+    out: dict[str, DataFrame] = {}
+    for name, df in named.items():
+        keys = _DIM_BUCKET_KEYS[name]
+        table = f"{prefix}_{name}"
+        if use_iceberg:
+            (
+                df.writeTo(table)
+                .using("iceberg")
+                .partitionedBy(F.bucket(n_buckets, F.col(keys[0])))
+                .createOrReplace()
+            )
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            writer = (
+                df.write.mode("overwrite")
+                .bucketBy(n_buckets, *keys)
+                .sortBy(*keys)
+                .format("parquet")
+            )
+            if path:
+                writer = writer.option("path", os.path.join(path, table))
+            writer.saveAsTable(table)
+        out[name] = spark.table(table)
+    return PreparedDims(
+        sourcemap=(out["sm_toks"], out["sm_store"], out["sm_summary"]),
+        proguard=(out["pg_ranges"], out["pg_store"]),
+        dsym=(out["ds_ranges"], out["ds_store"]),
+    )
+
+
 def run_pipeline(
     transcripts: DataFrame,
     lookups: Lookups,

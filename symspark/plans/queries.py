@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 TABLES = (
@@ -426,17 +427,19 @@ _SHINGLES_DUCK = (
 
 
 # b bands x r rows: LSH threshold ~ (1/b)^(1/r) = 0.5
+# default (demo-width) banding; dedup_minhash_lsh_wide registers the same
+# plan at 8x4 = 32 hashes — width is a parameter, not a rebuild
 _LSH_BANDS, _LSH_ROWS = 4, 2
 _LSH_VERIFY = 0.5
 
 
-def _minhash_lsh_oracle() -> str:
-    nsig = _LSH_BANDS * _LSH_ROWS
+def _minhash_lsh_oracle(bands: int = _LSH_BANDS, rows: int = _LSH_ROWS) -> str:
+    nsig = bands * rows
     sig_list = ", ".join(
         f"list_min(list_transform(sh, s -> md5('h{i}|' || s)))" for i in range(nsig)
     )
     # DuckDB lists are 1-based: band k (0-based) uses sig[rk+1 .. rk+r]
-    key = " || '|' || ".join(f"sig[{_LSH_ROWS} * band + {j + 1}]" for j in range(_LSH_ROWS))
+    key = " || '|' || ".join(f"sig[{rows} * band + {j + 1}]" for j in range(rows))
     return f"""
 WITH docs AS (
   SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
@@ -445,7 +448,7 @@ WITH docs AS (
   SELECT doc_id, sh, [{sig_list}] AS sig FROM docs
 ), bands AS (
   SELECT doc_id, band, {key} AS key
-  FROM sigs, (SELECT unnest(generate_series(0, {_LSH_BANDS - 1})) AS band)
+  FROM sigs, (SELECT unnest(generate_series(0, {bands - 1})) AS band)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -462,13 +465,15 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 """
 
 
-@q("dedup_minhash_lsh", _minhash_lsh_oracle())
-def _dedup_minhash(spark, sf_dir):
+def _dedup_minhash_impl(spark, sf_dir, bands: int, rows: int, owner: str):
     """MinHash + LSH near-dup, the scale-shaped pipeline:
 
     3-word shingles -> b*r minhash signatures -> b banded bucket keys ->
     self-join per band on the bucket key (candidate pairs, never all-pairs)
     -> exact shingle-set Jaccard verify on the candidates.
+
+    Width (b x r) is a parameter: the catalog registers the demo 4x2 and a
+    wide 8x4 config, both oracle-checked from the SAME constants.
 
     The shingle/signature DataFrames are persist()ed before the self-join:
     Catalyst pushes the join-key isnotnull filters below a staged
@@ -482,9 +487,9 @@ def _dedup_minhash(spark, sf_dir):
         d.filter(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", F.array_distinct(_shingles_spark()).alias("sh"))
     )
-    docs = _persist(docs, "dedup_minhash_lsh")
+    docs = _persist(docs, owner)
     sh = F.col("sh")
-    nsig = _LSH_BANDS * _LSH_ROWS
+    nsig = bands * rows
 
     def _sig(i):
         # single-arg closure: a two-arg lambda would make F.transform pass
@@ -498,14 +503,14 @@ def _dedup_minhash(spark, sf_dir):
 
     sigs = docs.select("doc_id", *[_sig(i) for i in range(nsig)])
     band_keys = [
-        F.concat_ws("|", *[F.col(f"sig{_LSH_ROWS * k + j}") for j in range(_LSH_ROWS)])
-        for k in range(_LSH_BANDS)
+        F.concat_ws("|", *[F.col(f"sig{rows * k + j}") for j in range(rows)])
+        for k in range(bands)
     ]
-    bands = _persist(
+    banded = _persist(
         sigs.select("doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key")),
-        "dedup_minhash_lsh",
+        owner,
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
@@ -527,6 +532,18 @@ def _dedup_minhash(spark, sf_dir):
         .filter(jacc >= _LSH_VERIFY)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jacc"))
     )
+
+
+@q("dedup_minhash_lsh", _minhash_lsh_oracle())
+def _dedup_minhash(spark, sf_dir):
+    return _dedup_minhash_impl(spark, sf_dir, _LSH_BANDS, _LSH_ROWS, "dedup_minhash_lsh")
+
+
+@q("dedup_minhash_lsh_wide", _minhash_lsh_oracle(bands=8, rows=4))
+def _dedup_minhash_wide(spark, sf_dir):
+    """The production-width config (32 hashes, 8 bands x 4 rows): tighter
+    bands -> fewer false candidates, more bands -> recall held."""
+    return _dedup_minhash_impl(spark, sf_dir, 8, 4, "dedup_minhash_lsh_wide")
 
 
 @q("dedup_ngram_jaccard", """
@@ -658,6 +675,66 @@ def _dedup_simhash(spark, sf_dir):
     return words.groupBy("doc_id").agg(bits.cast("bigint").alias("simhash"))
 
 
+_HEX = "0123456789abcdef"
+
+
+def _simhash64_sql_duck() -> str:
+    """64-bit SimHash as a 16-hex-digit string (a BIGINT would overflow at
+    bit 63); digit p (1-based, most significant first) packs the 4 bit
+    votes taken from md5 hex digit p."""
+    votes = []
+    for p in range(16):
+        for j in range(4):
+            chars = ", ".join(f"'{c}'" for c in _BIT_CHARS[j])
+            votes.append(
+                f"sum(CASE WHEN substr(md5(word), {p + 1}, 1) IN ({chars}) "
+                f"THEN 1 ELSE -1 END) AS v_{p}_{j}"
+            )
+    digits = []
+    for p in range(16):
+        nib = " + ".join(
+            f"(CASE WHEN v_{p}_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+        )
+        digits.append(f"substr('{_HEX}', ({nib}) + 1, 1)")
+    concat = " || ".join(digits)
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), v AS (
+  SELECT doc_id, {", ".join(votes)}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, {concat} AS simhash64 FROM v
+"""
+
+
+@q("dedup_simhash64", _simhash64_sql_duck())
+def _dedup_simhash64(spark, sf_dir):
+    """Production-width 64-bit SimHash (hex-string key; the 8-bit entry
+    stays as the demo-width config).  Same bit-vote scheme: md5 hex digit
+    p feeds the 4 votes of output digit p, one hash agg, no shuffle
+    beyond the groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    ).distinct()
+    h = F.md5(F.col("word").cast("binary"))
+    hex_arr = F.array(*[F.lit(c) for c in _HEX])
+    digits = []
+    for p in range(16):
+        nib = None
+        for j in range(4):
+            chars = list(_BIT_CHARS[j])
+            vote = F.sum(
+                F.when(F.substring(h, p + 1, 1).isin(chars), 1).otherwise(-1)
+            )
+            term = F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            nib = term if nib is None else nib + term
+        digits.append(F.element_at(hex_arr, nib + 1))
+    return words.groupBy("doc_id").agg(F.concat(*digits).alias("simhash64"))
+
+
 def _vec_dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -672,6 +749,25 @@ def _vec_norm(c):
 
 def _cosine(a, b):
     return _vec_dot(a, b) / (_vec_norm(a) * _vec_norm(b))
+
+
+def _cosine_pd_fn(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+    """Arrow-batched cosine for the pairwise verify stage: the zip_with/
+    aggregate HOF is interpreted per pair (the round-2 bench bottleneck in
+    dedup_embedding_cosine); one numpy matmul per batch replaces it."""
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.array(a.tolist(), dtype=np.float64)
+    B = np.array(b.tolist(), dtype=np.float64)
+    num = (A * B).sum(axis=1)
+    den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+    return pd.Series(num / den)
+
+
+def _cosine_pd():
+    return F.pandas_udf(_cosine_pd_fn, "double")
 
 
 @q("ann_cosine_topk", """
@@ -704,9 +800,11 @@ def _hyperplane(dim: int, j: int) -> list[int]:
     return [((i * 37 + j * 101) % 21) - 10 for i in range(dim)]
 
 
-def _bucket_expr(col="embedding"):
-    """16-bucket sign-LSH key, dimension-agnostic (hyperplanes generated
-    in-plan from the vector length - no driver round-trip for the dim)."""
+def _bucket_expr(col="embedding", n_planes: int = 4):
+    """2^n_planes-bucket sign-LSH key, dimension-agnostic (hyperplanes
+    generated in-plan from the vector length - no driver round-trip for
+    the dim).  n_planes is the width knob: more planes -> smaller buckets
+    -> cheaper within-bucket work, lower single-probe recall."""
     def _plane(j):
         # NB: a two-arg lambda would make F.transform pass the array index
         # as the second arg - close over j with a single-arg function
@@ -716,7 +814,7 @@ def _bucket_expr(col="embedding"):
         return F.transform(F.sequence(F.lit(0), F.size(F.col(col)) - 1), f)
 
     bucket = None
-    for j in range(4):
+    for j in range(n_planes):
         bit = F.when(_vec_dot(F.col(col), _plane(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
@@ -730,9 +828,9 @@ def _ann_lsh(spark, sf_dir):
     return e.groupBy(_bucket_expr().alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
 
 
-def _bucket_sql_duck(dim: int) -> str:
+def _bucket_sql_duck(dim: int, n_planes: int = 4) -> str:
     terms = []
-    for j in range(4):
+    for j in range(n_planes):
         h = _hyperplane(dim, j)
         arr = "[" + ", ".join(str(v) for v in h) + "]"
         terms.append(
@@ -753,45 +851,59 @@ FROM embeddings GROUP BY 1
 ORACLE_SQL["ann_lsh_buckets"] = ann_lsh_oracle(64)
 
 
-@q("ann_lsh_topk", None)  # oracle registered below (needs embedding dim)
-def _ann_lsh_topk(spark, sf_dir):
+def _ann_lsh_topk_impl(spark, sf_dir, n_planes: int, radius: int):
     """The ANN scale path end-to-end: LSH-bucket the corpus, then
     brute-force cosine top-k ONLY within the query vector's bucket.
 
     Multiprobe: candidates come from the query's bucket plus all buckets
-    at Hamming distance 1 (5 of 16 buckets), the standard recall lever for
-    sign LSH.  At 100 TB the bucket key becomes the shuffle/partition key
-    (or a partition column of the vector table), so each query touches
-    ~(1+bits)/2^bits of the corpus; brute-force `ann_cosine_topk` is the
-    recall oracle (see tests/test_queries.py recall check)."""
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", _bucket_expr().alias("bucket"))
+    at Hamming distance <= radius, the standard recall lever for sign
+    LSH.  At 100 TB the bucket key becomes the shuffle/partition key (or a
+    partition column of the vector table), so each query touches
+    ~sum(C(planes,r<=radius))/2^planes of the corpus; brute-force
+    `ann_cosine_topk` is the recall oracle (tests/test_queries.py)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_expr(n_planes=n_planes).alias("bucket")
+    )
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
     )
     sim = F.round(_cosine(F.col("embedding"), F.col("qe")), 3)
     return (
         e.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q), F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))) <= 1)
+        .join(F.broadcast(q), F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))) <= radius)
         .select("vec_id", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
     )
 
 
-def ann_lsh_topk_oracle(dim: int) -> str:
+@q("ann_lsh_topk", None)  # oracle registered below (needs embedding dim)
+def _ann_lsh_topk(spark, sf_dir):
+    return _ann_lsh_topk_impl(spark, sf_dir, n_planes=4, radius=1)
+
+
+@q("ann_lsh_topk_wide", None)  # oracle registered below
+def _ann_lsh_topk_wide(spark, sf_dir):
+    """Wider config: 6 planes (64 buckets), radius-1 multiprobe -> each
+    query touches ~7/64 of the corpus instead of 5/16."""
+    return _ann_lsh_topk_impl(spark, sf_dir, n_planes=6, radius=1)
+
+
+def ann_lsh_topk_oracle(dim: int, n_planes: int = 4, radius: int = 1) -> str:
     return f"""
 WITH b AS (
-  SELECT vec_id, embedding, CAST({_bucket_sql_duck(dim)} AS INTEGER) AS bucket
+  SELECT vec_id, embedding, CAST({_bucket_sql_duck(dim, n_planes)} AS INTEGER) AS bucket
   FROM embeddings
 ), q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
 SELECT vec_id,
        ROUND(CAST(list_cosine_similarity(embedding, (SELECT qe FROM q)) AS DOUBLE), 3) AS sim
-FROM b WHERE vec_id <> 0 AND bit_count(xor(bucket, (SELECT qb FROM q))) <= 1
+FROM b WHERE vec_id <> 0 AND bit_count(xor(bucket, (SELECT qb FROM q))) <= {radius}
 ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 
 ORACLE_SQL["ann_lsh_topk"] = ann_lsh_topk_oracle(64)
+ORACLE_SQL["ann_lsh_topk_wide"] = ann_lsh_topk_oracle(64, n_planes=6, radius=1)
 
 
 @q("dedup_embedding_cosine", None)  # oracle registered below (needs dim)
@@ -811,7 +923,7 @@ def _dedup_embedding(spark, sf_dir):
         "dedup_embedding_cosine",
     )
     a, b = e.alias("a"), e.alias("b")
-    sim = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sim = _cosine_pd()(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
@@ -987,8 +1099,8 @@ def _pipeline_parity_report(spark, sf_dir):
 
 @q("multimodal_features", None)
 def _multimodal_features(spark, sf_dir):
-    """Opaque-binary media columns -> Arrow-batched feature extraction
-    (decode stubbed; plumbing real)."""
+    """Opaque-binary media columns -> Arrow-batched header decode (real
+    stdlib PNG/GIF/WAV parsing) + feature extraction."""
     from symspark.multimodal import extract_features, gen_media
 
     return extract_features(gen_media(spark, 64)).drop("feature")

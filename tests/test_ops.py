@@ -70,6 +70,40 @@ def test_checkpointed_run_resumes(spark, fixture_dir, tmp_path, monkeypatch):
     )
 
 
+def test_bucketed_dim_join_path(spark, fixture_dir, tmp_path):
+    """SURVEY §4 item 2 large-store path: dims materialized as tables
+    bucketed on their join keys; with broadcast disabled (emulating a store
+    too big to broadcast) the enrichment joins must read the bucketed scans
+    (no BroadcastHashJoin, bucketed file scans) and produce the same
+    aggregates as the broadcast path."""
+    import symspark.pipeline as pl
+
+    t = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+    lookups = load_lookups(spark, fixture_dir)
+    dims = pl.prepare_dims_bucketed(
+        spark, lookups, n_buckets=4, prefix="tdim", path=str(tmp_path / "dims")
+    )
+    baseline = [
+        tuple(r) for r in sink_aggregates(run_pipeline(t, lookups)).collect()
+    ]
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = run_pipeline(t, lookups, dims=dims)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, "dim scans are not bucketed"
+        assert "BroadcastHashJoin" not in plan
+        assert [tuple(r) for r in sink_aggregates(out).collect()] == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in (
+            "sm_toks", "sm_store", "sm_summary", "pg_ranges", "pg_store",
+            "ds_ranges", "ds_store",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS tdim_{name}")
+
+
 def test_iceberg_fanout_or_documented_fallback(spark, enriched):
     """In-sandbox the iceberg-spark-runtime jar is absent -> the writer
     must report that honestly; with the jar present the same call writes a
@@ -243,12 +277,36 @@ def test_multimodal_features(spark):
     feats = multimodal.extract_features(media).collect()
     assert len(feats) == 30
     by_id = {r["media_id"]: r for r in feats}
+    # media 0 is a real PNG: header decode must report its true dimensions
     assert by_id[0]["decode_ok"] is True
+    assert by_id[0]["format"] == "png"
+    assert (by_id[0]["width"], by_id[0]["height"]) == (4, 3)
+    # media 1 is a real WAV: duration from the RIFF data/fmt chunks
+    assert by_id[1]["decode_ok"] is True
+    assert by_id[1]["format"] == "wav"
+    assert by_id[1]["duration_ms"] == 200
+    # media 2 is an opaque blob (no stdlib video decoder): explicit error
+    assert by_id[2]["decode_ok"] is False
+    assert "unrecognized container" in by_id[2]["decode_error"]
     assert len(by_id[0]["feature"]) == multimodal.FEATURE_DIM
     # deterministic across runs
     again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
     assert again[5]["feature"] == by_id[5]["feature"]
     assert again[5]["sha1"] == by_id[5]["sha1"]
+
+
+def test_decode_header_pure():
+    """Stdlib header decoders against hand-built fixtures (no Spark)."""
+    from symspark import multimodal as mm
+
+    png = mm.decode_header(mm.make_png(17, 9))
+    assert png == {"format": "png", "width": 17, "height": 9, "duration_ms": None}
+    gif = mm.decode_header(mm.make_gif(320, 200))
+    assert gif["format"] == "gif" and (gif["width"], gif["height"]) == (320, 200)
+    wav = mm.decode_header(mm.make_wav(1500))
+    assert wav["format"] == "wav" and wav["duration_ms"] == 1500
+    assert mm.decode_header(b"\xff\xd8\xff\xe0 not a real jpeg") is None
+    assert mm.decode_header(None) is None
 
 
 def test_prepare_dims_large_store_path(spark, fixture_dir):

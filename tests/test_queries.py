@@ -86,3 +86,11 @@ def test_ann_lsh_topk_recall(spark):
     bf = [r.vec_id for r in QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()]
     lsh = [r.vec_id for r in QUERIES["ann_lsh_topk"](spark, SF_DIR).collect()]
     assert len(set(bf) & set(lsh)) / 10 >= 0.5
+
+
+def test_ann_lsh_topk_wide_recall(spark):
+    """Wide config (6 planes, 64 buckets): multiprobe touches ~7/64 of the
+    corpus (random recall ~0.11); sign-LSH locality must beat that."""
+    bf = [r.vec_id for r in QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()]
+    lsh = [r.vec_id for r in QUERIES["ann_lsh_topk_wide"](spark, SF_DIR).collect()]
+    assert len(set(bf) & set(lsh)) / 10 >= 0.3
