@@ -119,10 +119,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # aggregation timed on the SAME warm DAG, min-of-N (round-2 judge
     # finding: a single cold run re-measured host noise + pipeline cold
     # start, not aggregation; the number should read as enrich + a small
-    # hash-aggregate delta)
+    # hash-aggregate delta).  Scaling mode (SYMSPARK_BENCH_QUERIES=0) only
+    # needs the sink counts, not the agg timing - one run, each extra being
+    # a full pipeline pass.
+    n_agg_runs = n_runs if os.environ.get("SYMSPARK_BENCH_QUERIES", "1") != "0" else 1
     agg_runs = []
     aggs = None
-    for _ in range(n_runs):
+    for _ in range(n_agg_runs):
         t0 = time.perf_counter()
         aggs = sink_aggregates(enriched).collect()
         agg_runs.append(time.perf_counter() - t0)

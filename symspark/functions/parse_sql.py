@@ -104,45 +104,53 @@ def _trim_ws(c: Column) -> Column:
     return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
+# Group-separator for single-execution extraction: one regexp_replace of an
+# anchored, pre-rlike-gated pattern rewrites the line to its capture groups
+# joined by this sentinel; splitting yields every group with ONE regex run
+# (each regexp_extract call would re-run the matcher per group).  Control
+# chars never appear in stack-trace lines.
+_SEP = "\x01\x02"
+
+
+def _groups(l: Column, pattern: str, n: int) -> Column:
+    """All n capture groups of an ANCHORED pattern in one regex execution.
+    The pattern must consume the whole line (``^…$``) so the replacement
+    output is exactly the joined groups — callers gate on ``rlike`` first.
+    For non-anchored patterns use :func:`_groups_find` instead."""
+    repl = _SEP.join(f"${i}" for i in range(1, n + 1))
+    return F.split(F.regexp_replace(l, pattern, repl), _SEP)
+
+
+def _groups_find(l: Column, pattern: str, n: int) -> Column:
+    """find-first semantics for a non-anchored pattern: a lazy ``^.*?``
+    prefix and greedy ``.*$`` suffix consume the unmatched stretches, so
+    the replacement output is the first match's groups alone."""
+    repl = _SEP.join(f"${i}" for i in range(1, n + 1))
+    return F.split(
+        F.regexp_replace(l, r"^(?s:.*?)" + pattern + r"(?s:.*)$", repl), _SEP
+    )
+
+
 # --- js ---------------------------------------------------------------------
 
 def _js_line_candidate(l: Column) -> Column:
     """Per-line strategy cascade RN > Chrome > WinJS > Gecko; null if the
-    line matches none (the line is skipped, exactly the UDF behavior)."""
+    line matches none (the line is skipped, exactly the UDF behavior).
+    Returns struct(s: strategy ordinal, g: capture groups) — exactly one
+    regexp_replace group extraction per matched line; field selection by
+    strategy happens on the MATERIALIZED struct in the second transform."""
 
-    def ex(pat: str, g: int) -> Column:
-        return F.regexp_extract(l, pat, g)
+    def tag(strategy: int, groups: Column) -> Column:
+        return F.struct(F.lit(strategy).alias("s"), groups.alias("g"))
 
-    def cand(func: Column, url: Column, line: Column, col: Column) -> Column:
-        return F.struct(
-            func.alias("func"), url.alias("url"),
-            line.alias("line"), col.alias("col"),
-        )
-
-    ch_u0 = ex(RE_CHROME, 2)
-    ch_eval = ch_u0.startswith("eval") & ch_u0.rlike(RE_CHROME_EVAL)
-    chrome = cand(
-        ex(RE_CHROME, 1),
-        F.when(ch_eval, F.regexp_extract(ch_u0, RE_CHROME_EVAL, 1))
-        .when(ch_u0.startswith("native"), F.lit("(native)"))
-        .otherwise(ch_u0),
-        F.when(ch_eval, F.regexp_extract(ch_u0, RE_CHROME_EVAL, 2)).otherwise(ex(RE_CHROME, 3)),
-        F.when(ch_eval, F.regexp_extract(ch_u0, RE_CHROME_EVAL, 3)).otherwise(ex(RE_CHROME, 4)),
-    )
     return (
         F.when(
             l.contains("address at") & l.rlike(RE_RN),
-            cand(ex(RE_RN, 1), ex(RE_RN, 2), ex(RE_RN, 3), ex(RE_RN, 4)),
+            tag(0, _groups(l, RE_RN, 4)),
         )
-        .when(l.rlike(RE_CHROME), chrome)
-        .when(
-            l.rlike(RE_WINJS),
-            cand(ex(RE_WINJS, 1), ex(RE_WINJS, 2), ex(RE_WINJS, 3), ex(RE_WINJS, 4)),
-        )
-        .when(
-            l.rlike(RE_GECKO),
-            cand(ex(RE_GECKO, 1), ex(RE_GECKO, 3), ex(RE_GECKO, 4), ex(RE_GECKO, 5)),
-        )
+        .when(l.rlike(RE_CHROME), tag(1, _groups(l, RE_CHROME, 4)))
+        .when(l.rlike(RE_WINJS), tag(2, _groups(l, RE_WINJS, 4)))
+        .when(l.rlike(RE_GECKO), tag(3, _groups(l, RE_GECKO, 5)))
     )
 
 
@@ -153,13 +161,31 @@ def _js_frames(text: Column) -> Column:
     )
 
     def build(x: Column, i: Column) -> Column:
+        s, g = x["s"], x["g"]
+        gecko = s == F.lit(3)
+        # gecko groups: (func, args, url, line, col) -> skip args
+        func = g[0]
+        url0 = F.when(gecko, g[2]).otherwise(g[1])
+        line0 = F.when(gecko, g[3]).otherwise(g[2])
+        col0 = F.when(gecko, F.element_at(x["g"], 5)).otherwise(g[3])
+        # Chrome eval / native rewrites (rare: extra regex only on eval rows)
+        is_ch = s == F.lit(1)
+        ev = is_ch & url0.startswith("eval") & url0.rlike(RE_CHROME_EVAL)
+        evg = _groups_find(url0, RE_CHROME_EVAL, 3)
+        url = (
+            F.when(ev, evg[0])
+            .when(is_ch & url0.startswith("native"), F.lit("(native)"))
+            .otherwise(url0)
+        )
+        line = F.when(ev, evg[1]).otherwise(line0)
+        col = F.when(ev, evg[2]).otherwise(col0)
         return _frame(
             pos=i,
             kind=F.lit("js"),
-            url=x["url"],
-            func=F.coalesce(_nz(x["func"]), F.lit(UNKNOWN_FUNCTION)),
-            line=_int_or(x["line"], -1),
-            col=_int_or(x["col"], -1),
+            url=url,
+            func=F.coalesce(_nz(func), F.lit(UNKNOWN_FUNCTION)),
+            line=_int_or(line, -1),
+            col=_int_or(col, -1),
         )
 
     return F.transform(cands, build)
@@ -172,47 +198,55 @@ def _jvm_frames(lines: Column) -> Column:
         F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))),
         lambda l: _trim_ws(l) != "",
     )
+    # step 1: one regex run per line (match flag + all groups), materialized
+    parsed = F.transform(
+        kept,
+        lambda l: F.struct(
+            l.alias("raw"),
+            l.rlike(RE_JAVA_FRAME).alias("m"),
+            F.when(l.rlike(RE_JAVA_FRAME), _groups(l, RE_JAVA_FRAME, 4)).alias("g"),
+        ),
+    )
 
-    def build(l: Column, i: Column) -> Column:
-        m = l.rlike(RE_JAVA_FRAME)
-        src = F.regexp_extract(l, RE_JAVA_FRAME, 3)
-        line = F.when(src == "Native Method", F.lit(-2)).otherwise(
-            _int_or(F.regexp_extract(l, RE_JAVA_FRAME, 4), -1)
-        )
+    def build(x: Column, i: Column) -> Column:
+        g = x["g"]
+        line = F.when(g[2] == "Native Method", F.lit(-2)).otherwise(_int_or(g[3], -1))
         return F.when(
-            m,
+            x["m"],
             _frame(
                 pos=i, kind=F.lit("jvm"),
-                cls=F.regexp_extract(l, RE_JAVA_FRAME, 1),
-                method=F.regexp_extract(l, RE_JAVA_FRAME, 2),
-                src=src, line=line,
+                cls=g[0], method=g[1], src=g[2], line=line,
             ),
-        ).otherwise(_frame(pos=i, kind=F.lit("jvm_raw"), raw=l))
+        ).otherwise(_frame(pos=i, kind=F.lit("jvm_raw"), raw=x["raw"]))
 
-    return F.transform(kept, build)
+    return F.transform(parsed, build)
 
 
 # --- apple ------------------------------------------------------------------
 
 def _apple_frames(text: Column) -> Column:
     lines = F.split(F.coalesce(text, F.lit("")), "\n")
+    parsed = F.transform(
+        lines,
+        lambda l: F.struct(
+            l.alias("raw"),
+            l.rlike(RE_APPLE).alias("m"),
+            F.when(l.rlike(RE_APPLE), _groups_find(l, RE_APPLE, 6)).alias("g"),
+        ),
+    )
 
-    def build(l: Column, i: Column) -> Column:
-        m = l.rlike(RE_APPLE)
-
-        def g(idx: int) -> Column:
-            return F.regexp_extract(l, RE_APPLE, idx)
-
+    def build(x: Column, i: Column) -> Column:
+        g = x["g"]
         return F.when(
-            m,
+            x["m"],
             _frame(
-                pos=i, kind=F.lit("apple"), raw=l,
-                prefix=g(1), lib=g(3), tok=g(5),
-                addr=_nz(g(6)).try_cast("long"),
+                pos=i, kind=F.lit("apple"), raw=x["raw"],
+                prefix=g[0], lib=g[2], tok=g[4],
+                addr=_nz(g[5]).try_cast("long"),
             ),
-        ).otherwise(_frame(pos=i, kind=F.lit("apple_raw"), raw=l))
+        ).otherwise(_frame(pos=i, kind=F.lit("apple_raw"), raw=x["raw"]))
 
-    return F.transform(lines, build)
+    return F.transform(parsed, build)
 
 
 # --- the two-stage assembly -------------------------------------------------
