@@ -73,10 +73,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from symspark.pipeline import load_lookups, prepare_dims, run_pipeline, sink_aggregates
     from symspark.session import get_spark
 
+    from pyspark.sql import functions as F
+
     spark = get_spark(app_name="symspark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
 
-    tdir = Q.transcripts_dir(sf_dir)
+    tdir = Q.prepare(sf_dir)  # explicit fixture generation (side-effect-free queries after)
     # --scaling sets a replication factor so the measured job is
     # compute-bound (fixed per-run driver/broadcast costs otherwise mask
     # parallel scaling at small fixture sizes); both parallelism levels see
@@ -95,6 +97,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                         os.link(os.path.join(src, name), os.path.join(rdir, f"r{i:02d}-{name}"))
         src = rdir
     transcripts = spark.read.parquet(src)
+    if repl > 1:
+        # replicated turns must be DISTINCT records: the hardlinks reuse
+        # (conv_id, turn_idx), so without re-keying the pipeline's regroup
+        # collapses the replicated input repl:1 (r3 SCALING.json sinks
+        # summed to 600k at n_turns 9.6M) - scan/parse/joins did 16x work
+        # but the regroup built 16x-length frame arrays per group, a
+        # different (group-heavier) workload than a real 9.6M-turn table.
+        # The replica ordinal is derived in-plan from the file name, so the
+        # scan stays one relation.
+        transcripts = transcripts.withColumn(
+            "conv_id",
+            F.concat(
+                F.col("conv_id"), F.lit("#r"),
+                F.regexp_extract(F.input_file_name(), r"/r(\d+)-[^/]*$", 1),
+            ),
+        )
     lookups = load_lookups(spark, tdir)
     n_turns = transcripts.count()
 
@@ -104,6 +122,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     # warm-up: JIT + python worker pool on a slice
     run_pipeline(transcripts.limit(2000), lookups, dims=dims).write.format("noop").mode("overwrite").save()
+
+    # gate the TIMED region on host quietness (r3 shipped a storm-poisoned
+    # headline: enrich runs [15.9, 67.2, 94.4]s, 6x spread).  The scaling
+    # driver gates each subprocess too, but a storm can start between the
+    # gate and the warm-up - probe again here, immediately before timing.
+    quiet_probe = wait_for_quiet()
 
     # the sandbox host shows heavy CPU-steal bursts (runs vary up to 7x);
     # the MIN of N runs is the steal-robust estimator of true wall time
@@ -116,26 +140,42 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         runs.append(time.perf_counter() - t0)
     pipeline_sec = min(runs)
 
-    # aggregation timed on the SAME warm DAG, min-of-N (round-2 judge
-    # finding: a single cold run re-measured host noise + pipeline cold
-    # start, not aggregation; the number should read as enrich + a small
-    # hash-aggregate delta).  Scaling mode (SYMSPARK_BENCH_QUERIES=0) only
-    # needs the sink counts, not the agg timing - one run, each extra being
-    # a full pipeline pass.
-    n_agg_runs = n_runs if os.environ.get("SYMSPARK_BENCH_QUERIES", "1") != "0" else 1
-    agg_runs = []
+    # aggregation: in default mode, timed on a PERSISTED enriched frame so
+    # the number is the hash-agg alone, not another full pipeline pass (the
+    # r3 artifact re-executed the whole pipeline per agg run: 55.5s "agg"
+    # vs 15.9s enrich).  pipeline_aggregate is reported as enrich + that
+    # delta - the end-to-end cost of one pass producing both outputs.
+    # Scaling mode (SYMSPARK_BENCH_QUERIES=0) only needs the sink counts:
+    # one uncached run (persisting a 16x-replicated enriched table would
+    # measure cache writes, not the pipeline).
     aggs = None
-    for _ in range(n_agg_runs):
+    if os.environ.get("SYMSPARK_BENCH_QUERIES", "1") != "0":
+        cached = enriched.persist()
+        try:
+            cached.write.format("noop").mode("overwrite").save()  # build cache (untimed)
+            agg_runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                aggs = sink_aggregates(cached).collect()
+                agg_runs.append(time.perf_counter() - t0)
+        finally:
+            cached.unpersist(blocking=False)
+        agg_only = min(agg_runs)
+        agg_sec = pipeline_sec + agg_only
+    else:
         t0 = time.perf_counter()
         aggs = sink_aggregates(enriched).collect()
-        agg_runs.append(time.perf_counter() - t0)
-    agg_sec = min(agg_runs)
+        agg_only = None
+        agg_runs = [time.perf_counter() - t0]
+        agg_sec = agg_runs[0]
 
     qtimes = {
+        "quiet_probe_pre_timing_sec": quiet_probe,
         "pipeline_enrich": round(pipeline_sec, 3),
         "pipeline_enrich_runs": [round(r, 3) for r in runs],
         "pipeline_aggregate": round(agg_sec, 3),
         "pipeline_aggregate_runs": [round(r, 3) for r in agg_runs],
+        **({"pipeline_aggregate_agg_only": round(agg_only, 3)} if agg_only is not None else {}),
     }
     if os.environ.get("SYMSPARK_BENCH_QUERIES", "1") != "0":
         # min-of-2 per catalog query + host probes around the loop: the
@@ -239,19 +279,32 @@ def wait_for_quiet(threshold: float = 0.5, max_wait_s: int = 1800) -> float:
         waited += 60
 
 
-def run_scaling(sf_dir: str) -> dict:
+def run_scaling(sf_dir: str, levels: tuple[int, int] = (8, 32)) -> dict:
     """Alternate the two parallelism levels (storm bursts on this host last
     minutes, so interleaving + a pre-run multi-core quietness gate +
-    max-throughput-of-runs de-noises the comparison)."""
-    results: dict[int, list] = {8: [], 32: []}
+    max-throughput-of-runs de-noises the comparison).
+
+    ``levels=(lo, hi)`` defaults to the north-rule pair (8, 32).  The pair
+    (2, 8) is the falsification regime for the memory-bandwidth-ceiling
+    claim: per the bandwidth probe, 8 workers still get ~0.84 of a single
+    worker's bandwidth each, so if the PLAN (not the socket) were the
+    bottleneck the 2->8 efficiency would miss 0.8 too."""
+    lo, hi = levels
+    factor = hi / lo
+    results: dict[int, list] = {lo: [], hi: []}
     errors: list[dict] = []
-    for cpus in (8, 32, 8, 32):
+    # smaller levels run slower in wall-clock; scale the replication down
+    # so a (2, 8) pair finishes in a bounded window while the measured job
+    # stays compute-bound (fixed per-run cost ~8s stays <10% of the run)
+    default_repl = "16" if lo >= 8 else "4"
+    default_runs = "4" if lo >= 8 else "2"
+    for cpus in (lo, hi, lo, hi):
         probe = wait_for_quiet()
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
             SPARK_GRAFT_SF_DIR=sf_dir,
-            SYMSPARK_BENCH_RUNS=os.environ.get("SYMSPARK_BENCH_RUNS", "4"),
+            SYMSPARK_BENCH_RUNS=os.environ.get("SYMSPARK_BENCH_RUNS", default_runs),
             SYMSPARK_BENCH_QUERIES="0",
             # 16x replication (9.6M turns): each run decomposes as ~8s fixed
             # driver/scheduling cost + a variable part that scales ~linearly
@@ -259,7 +312,7 @@ def run_scaling(sf_dir: str) -> dict:
             # inputs the fixed cost floors the measured efficiency; 16x puts
             # >90% of the run in the scalable part, which is what a 100TB
             # job looks like.
-            SYMSPARK_BENCH_REPLICATE=os.environ.get("SYMSPARK_BENCH_REPLICATE", "16"),
+            SYMSPARK_BENCH_REPLICATE=os.environ.get("SYMSPARK_BENCH_REPLICATE", default_repl),
         )
         print(f"[scaling] local[{cpus}] starting", file=sys.stderr, flush=True)
         out = subprocess.run(
@@ -280,50 +333,58 @@ def run_scaling(sf_dir: str) -> dict:
         print(f"[scaling] local[{cpus}] done: {r['value']} turns/s "
               f"(probe {probe}/{r['quiet_probe_after_sec']}s)",
               file=sys.stderr, flush=True)
-    if not results[8] or not results[32]:
+    if not results[lo] or not results[hi]:
         return {"error": "a parallelism level produced no successful runs", "errors": errors,
-                "runs": results}
-    t8 = max(r["value"] for r in results[8])
-    t32 = max(r["value"] for r in results[32])
+                "runs": {str(k): v for k, v in results.items()}}
+    t_lo = max(r["value"] for r in results[lo])
+    t_hi = max(r["value"] for r in results[hi])
     # the structural ceiling: aggregate memory bandwidth at each worker
     # count.  bw_ceiling_efficiency is the best any FULLY memory-bound job
     # could score on this host; the pipeline's compute-bound fraction is
     # what lifts the measured efficiency above it.
-    bw8, bw32 = bandwidth_probe(8), bandwidth_probe(32)
-    return {
-        "metric": "throughput scaling efficiency N->4N (local[8] vs local[32])",
-        "tput_8": t8,
-        "tput_32": t32,
-        "efficiency": round(t32 / (4 * t8), 3),
-        "bw_8_gbps": bw8,
-        "bw_32_gbps": bw32,
-        "bw_ceiling_efficiency": round(bw32 / (4 * bw8), 3),
-        "runs": results,
+    bw_lo, bw_hi = bandwidth_probe(lo), bandwidth_probe(hi)
+    out = {
+        "metric": f"throughput scaling efficiency N->{factor:g}N "
+                  f"(local[{lo}] vs local[{hi}])",
+        "levels": [lo, hi],
+        f"tput_{lo}": t_lo,
+        f"tput_{hi}": t_hi,
+        "efficiency": round(t_hi / (factor * t_lo), 3),
+        f"bw_{lo}_gbps": bw_lo,
+        f"bw_{hi}_gbps": bw_hi,
+        "bw_ceiling_efficiency": round(bw_hi / (factor * bw_lo), 3),
+        "runs": {str(k): v for k, v in results.items()},
         "errors": errors,
     }
+    return out
 
 
 def _attach_scaling(result: dict) -> dict:
     """Inline the most recent committed --scaling evidence (SCALING.json,
     produced by `python bench.py --scaling` and committed) so the per-round
     bench artifact carries the north-rule efficiency number."""
-    path = os.path.join(REPO, "SCALING.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            s = json.load(f)
-        result["scaling"] = {
-            k: s[k]
-            for k in (
-                "metric", "tput_8", "tput_32", "efficiency",
-                "bw_8_gbps", "bw_32_gbps", "bw_ceiling_efficiency",
-            )
-            if k in s
-        }
+    keys = (
+        "metric", "levels", "tput_2", "tput_8", "tput_32", "efficiency",
+        "bw_2_gbps", "bw_8_gbps", "bw_32_gbps", "bw_ceiling_efficiency",
+    )
+    for fname, out_key in (
+        ("SCALING.json", "scaling"),
+        ("SCALING_FALSIFICATION.json", "scaling_falsification"),
+    ):
+        path = os.path.join(REPO, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                s = json.load(f)
+            result[out_key] = {k: s[k] for k in keys if k in s}
     return result
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)))
+        levels = (8, 32)
+        if "--levels" in sys.argv:
+            lo, hi = sys.argv[sys.argv.index("--levels") + 1].split(",")
+            levels = (int(lo), int(hi))
+        print(json.dumps(run_scaling(SF_DIR, levels)))
     else:
         print(json.dumps(_attach_scaling(run_bench(SF_DIR, CPUS))))

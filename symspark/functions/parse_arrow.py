@@ -25,6 +25,12 @@ from symspark.functions.js_parser import UNKNOWN_FUNCTION, compute_stack_trace
 from symspark.functions.parse import PARSE_WRAP, _js_result_to_row, _parse_mk
 from symspark.schemas import PARSED_SCHEMA
 
+# Shared with the JVM-expression engine: lines longer than LINE_CAP are
+# treated as non-matching in BOTH engines (parse_sql.py gates its
+# backtracking java.util.regex cascade on it; RE2 here is linear-time and
+# does not need the guard, but sql==udf byte-parity must hold on any input).
+from symspark.functions.parse_sql import LINE_CAP
+
 def _as_array(a) -> "pa.Array":
     return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
@@ -152,6 +158,16 @@ def _np_bool(arr) -> np.ndarray:
     return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
 
 
+def _line_ok_np(flat: pa.Array) -> np.ndarray:
+    """Mirror of parse_sql._line_ok: over-cap or sentinel-carrying lines
+    are non-matching in both engines (see the LINE_CAP note there)."""
+    return (
+        (pc.utf8_length(flat).to_numpy(zero_copy_only=False) <= LINE_CAP)
+        & ~_np_bool(pc.match_substring(flat, "\x01"))
+        & ~_np_bool(pc.match_substring(flat, "\x02"))
+    )
+
+
 def _extract(lines: pa.Array, pattern: str) -> pa.StructArray:
     out = pc.extract_regex(lines, pattern)
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
@@ -217,15 +233,16 @@ def _parse_js_arrow(stack: pa.Array, name: pa.Array, message: pa.Array) -> pa.St
         # first: RN needs the literal "address at" (substring prefilter);
         # Chrome is the dominant format (full-corpus extract); WinJS/Gecko
         # only see lines the earlier strategies rejected
-        rn_cand = _np_bool(pc.match_substring(flat, "address at"))
+        ok_len = _line_ok_np(flat)
+        rn_cand = ok_len & _np_bool(pc.match_substring(flat, "address at"))
         rn = _extract_sub(flat, rn_cand, _RE_RN)
         m_rn = _np_bool(pc.is_valid(rn))
         ch = _extract(flat, _RE_CHROME)
-        m_ch = ~m_rn & _np_bool(pc.is_valid(ch))
-        wj = _extract_sub(flat, ~m_rn & ~m_ch, _RE_WINJS)
-        m_wj = ~m_rn & ~m_ch & _np_bool(pc.is_valid(wj))
-        gk = _extract_sub(flat, ~m_rn & ~m_ch & ~m_wj, _RE_GECKO)
-        m_gk = ~m_rn & ~m_ch & ~m_wj & _np_bool(pc.is_valid(gk))
+        m_ch = ok_len & ~m_rn & _np_bool(pc.is_valid(ch))
+        wj = _extract_sub(flat, ok_len & ~m_rn & ~m_ch, _RE_WINJS)
+        m_wj = ok_len & ~m_rn & ~m_ch & _np_bool(pc.is_valid(wj))
+        gk = _extract_sub(flat, ok_len & ~m_rn & ~m_ch & ~m_wj, _RE_GECKO)
+        m_gk = ok_len & ~m_rn & ~m_ch & ~m_wj & _np_bool(pc.is_valid(gk))
 
         ch_url = _grp(ch, "url")
         ch_line, ch_col = _grp(ch, "line"), _grp(ch, "col")
@@ -298,7 +315,8 @@ def _parse_apple_arrow(text: pa.Array) -> pa.StructArray:
     lists = pc.split_pattern(pc.fill_null(text, ""), "\n")
     flat = _as_array(pc.list_flatten(lists))
     parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-    ex = _extract(flat, _RE_APPLE)
+    ok_len = _line_ok_np(flat)
+    ex = _extract_sub(flat, ok_len, _RE_APPLE)
     ok = pa.array(_np_bool(pc.is_valid(ex)))
     counts = np.bincount(parents, minlength=n)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -334,7 +352,8 @@ def _parse_jvm_arrow(text: pa.Array) -> pa.StructArray:
     blank = _np_bool(pc.equal(pc.utf8_trim_whitespace(flat), ""))
     keep = (local > 0) & ~blank & ~(empty | no_hdr)[parents]
 
-    fr = _extract(flat, _RE_JAVA_FRAME)
+    ok_len = _line_ok_np(flat)
+    fr = _extract_sub(flat, ok_len, _RE_JAVA_FRAME)
     kidx = np.nonzero(keep)[0]
     take = pa.array(kidx)
     kparents = parents[keep]

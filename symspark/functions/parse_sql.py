@@ -74,6 +74,23 @@ RE_APPLE = (
 RE_JAVA_HEADER = r"^([^\s:]+)\s*:\s*(.*)$"
 RE_JAVA_FRAME = r"^\s*at\s+([^\s(]+)\.([^\s.(]+)\(([^:)]+)(?::(-?\d+))?\)\s*$"
 
+# Backtracking-engine guard: java.util.regex backtracks, and the stacked
+# lazy/optional groups in RE_GECKO / RE_CHROME can go superlinear on long
+# adversarial non-matching lines (an executor CPU hazard RE2 — the Arrow
+# engine and the Go reference — cannot hit).  No legitimate stack-frame
+# line approaches this length, so lines longer than LINE_CAP chars are
+# treated as non-matching (js: skipped; jvm/apple: raw-preserved) in BOTH
+# engines, keeping sql==udf parity on any input (tests/test_parse_sql.py).
+# The same gate rejects lines containing the _SEP sentinel control chars:
+# a captured group carrying them would mis-split the single-execution group
+# extraction, so "control chars never appear in stack-trace lines" is
+# ENFORCED rather than assumed — again identically in both engines.
+LINE_CAP = 8192
+
+
+def _line_ok(l: Column) -> Column:
+    return (F.length(l) <= LINE_CAP) & ~l.contains("\x01") & ~l.contains("\x02")
+
 ERR_PARSE = PARSE_WRAP + "failed to parse stack trace"
 ERR_EMPTY = PARSE_WRAP + "stack trace is empty"
 ERR_INVALID = PARSE_WRAP + "invalid stack trace format"
@@ -143,7 +160,7 @@ def _js_line_candidate(l: Column) -> Column:
     def tag(strategy: int, groups: Column) -> Column:
         return F.struct(F.lit(strategy).alias("s"), groups.alias("g"))
 
-    return (
+    cascade = (
         F.when(
             l.contains("address at") & l.rlike(RE_RN),
             tag(0, _groups(l, RE_RN, 4)),
@@ -152,6 +169,9 @@ def _js_line_candidate(l: Column) -> Column:
         .when(l.rlike(RE_WINJS), tag(2, _groups(l, RE_WINJS, 4)))
         .when(l.rlike(RE_GECKO), tag(3, _groups(l, RE_GECKO, 5)))
     )
+    # over-cap / sentinel-carrying lines never reach the backtracking
+    # regexes nor the _SEP group extraction (LINE_CAP note)
+    return F.when(_line_ok(l), cascade)
 
 
 def _js_frames(text: Column) -> Column:
@@ -203,8 +223,9 @@ def _jvm_frames(lines: Column) -> Column:
         kept,
         lambda l: F.struct(
             l.alias("raw"),
-            l.rlike(RE_JAVA_FRAME).alias("m"),
-            F.when(l.rlike(RE_JAVA_FRAME), _groups(l, RE_JAVA_FRAME, 4)).alias("g"),
+            (_line_ok(l) & l.rlike(RE_JAVA_FRAME)).alias("m"),
+            F.when(_line_ok(l) & l.rlike(RE_JAVA_FRAME),
+                   _groups(l, RE_JAVA_FRAME, 4)).alias("g"),
         ),
     )
 
@@ -230,8 +251,9 @@ def _apple_frames(text: Column) -> Column:
         lines,
         lambda l: F.struct(
             l.alias("raw"),
-            l.rlike(RE_APPLE).alias("m"),
-            F.when(l.rlike(RE_APPLE), _groups_find(l, RE_APPLE, 6)).alias("g"),
+            (_line_ok(l) & l.rlike(RE_APPLE)).alias("m"),
+            F.when(_line_ok(l) & l.rlike(RE_APPLE),
+                   _groups_find(l, RE_APPLE, 6)).alias("g"),
         ),
     )
 

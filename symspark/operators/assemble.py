@@ -207,15 +207,18 @@ def assemble_records(grouped: DataFrame, cfg: PipelineConfig) -> DataFrame:
     orig_ok = processed & pre_err.isNull() & (route != "mk") & preserve
     orig_text = F.when(orig_ok, text)
     mk_success = (route == "mk") & pre_err.isNull() & ~mk_abort
-    # the reference never rewrites the MetricKit attribute — an input value
-    # passes through; when absent (flattened eventName case) the parsed JSON
-    # (= text) is preserved on success
+    # MetricKit input attribute: on success the reference removes it unless
+    # PreserveStackTrace (dsymprocessor/logs_processor.go:398-400); on
+    # failure it is left untouched.  When absent on input (flattened
+    # eventName case) the parsed JSON (= text) is preserved on success.
     mk_attr_in = (
         F.col(cfg.metrickit_stack_trace_col)
         if cfg.metrickit_stack_trace_col in grouped.columns
         else F.lit(None).cast("string")
     )
-    mk_json_out = F.coalesce(mk_attr_in, F.when(mk_success & preserve, text))
+    mk_json_out = F.when(mk_success & ~preserve, F.lit(None).cast("string")).otherwise(
+        F.coalesce(mk_attr_in, F.when(mk_success & preserve, text))
+    )
 
     # --- structured-array outputs ---
     def arr(field: str, typ: str) -> Column:

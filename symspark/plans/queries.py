@@ -59,9 +59,13 @@ def _persist(df: DataFrame, owner: str) -> DataFrame:
     if _PERSIST_OWNER[0] != owner:
         release_caches()
         _PERSIST_OWNER[0] = owner
-    out = df.persist()
-    _PERSISTED.append(out)
-    return out
+    # an equivalent plan may already sit in the cache (builders share
+    # intermediates); re-persisting logs a CacheManager warning per action
+    # and masks real cache bugs — skip when already cached
+    if not df.storageLevel.useMemory:
+        df = df.persist()
+    _PERSISTED.append(df)
+    return df
 
 
 SPARK_QUERIES = {}
@@ -1034,9 +1038,12 @@ def _token_count(spark, sf_dir):
 _SF_TURNS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
 
 
-def transcripts_dir(sf_dir: str) -> str:
-    """Generate (once) and return the synthetic transcript dataset matching
-    the scale of the given testdata dir."""
+def prepare(sf_dir: str) -> str:
+    """Generate the synthetic transcript dataset matching the scale of the
+    given testdata dir (idempotent: datagen caches per directory).  Call
+    this ONCE before running the ``pipeline_*`` catalog queries — bench.py
+    and the test fixtures do — so the query builders themselves stay
+    side-effect-free."""
     from symspark.sources.datagen import write_all
 
     sf = os.path.basename(os.path.normpath(sf_dir))
@@ -1044,6 +1051,22 @@ def transcripts_dir(sf_dir: str) -> str:
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "data", sf)
     out = os.path.normpath(out)
     write_all(out, n_turns=n)
+    return out
+
+
+def transcripts_dir(sf_dir: str) -> str:
+    """Resolve the synthetic transcript dataset dir for a testdata dir.
+
+    Pure path resolution after :func:`prepare` has run.  GUARDED FALLBACK:
+    if the dataset is absent (a query invoked without prepare — e.g. the
+    driver's correctness harness calling ``queries()`` entries directly),
+    it is generated here as a side effect; callers that care about timing
+    or purity must call prepare() explicitly first."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "data", sf)
+    out = os.path.normpath(out)
+    if not os.path.isdir(os.path.join(out, "transcripts.parquet")):
+        return prepare(sf_dir)
     return out
 
 

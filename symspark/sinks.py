@@ -66,6 +66,19 @@ def write_fanout(
     enriched.write.mode(mode).partitionBy(*partition_keys).parquet(target)
 
 
+def iceberg_fanout_partition_spec(
+    partition_keys: tuple[str, ...] = DEFAULT_PARTITION_KEYS, conv_buckets: int = 32
+) -> list:
+    """Partition transforms of the Iceberg fan-out table:
+    ``bucket(conv_buckets, conv_id)`` + identity on the sink keys.
+    Factored out so the spec is constructible (and asserted in tests)
+    without the iceberg jar on the classpath."""
+    return [
+        F.bucket(conv_buckets, F.col("conv_id")),
+        *[F.col(k) for k in partition_keys],
+    ]
+
+
 def write_fanout_iceberg(
     enriched: DataFrame,
     table: str,
@@ -85,12 +98,9 @@ def write_fanout_iceberg(
     spark = enriched.sparkSession
     writer = enriched.writeTo(table).using("iceberg")
     if not spark.catalog.tableExists(table):
-        (
-            writer.partitionedBy(
-                F.bucket(conv_buckets, F.col("conv_id")),
-                *[F.col(k) for k in partition_keys],
-            ).create()
-        )
+        writer.partitionedBy(
+            *iceberg_fanout_partition_spec(partition_keys, conv_buckets)
+        ).create()
         return
     if overwrite_filter is not None:
         writer.overwrite(overwrite_filter)

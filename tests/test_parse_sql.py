@@ -32,6 +32,12 @@ JS_CASES = [
     "Error thrown at line 42, column 3 in fn(a) in http://opera.example/x.js:\n"
     "    called from line 1, column 0 in <anonymous function: outer>(b) in http://opera.example/y.js:",
     "  Line 12 of inline#2 script in http://o.example/i.html: in function foo\n    x();",
+    # adversarial: over-LINE_CAP lines and _SEP sentinel control chars must
+    # be treated as non-matching by BOTH engines (parse_sql.py LINE_CAP note)
+    "x" * 9000 + "@http://x/a.js:1:2",
+    "    at f" + "o" * 9000 + " (http://x/a.js:1:2)\n    at ok (http://x/b.js:3:4)",
+    "    at fo\x01o (http://x/a.js:1:2)\n    at ok (http://x/b.js:3:4)",
+    "f\x02n@http://x/a.js:10:5",
 ]
 
 JVM_CASES = [
@@ -46,6 +52,9 @@ JVM_CASES = [
     "java.lang.E:\n\tat a.a.a(SourceFile:42)",  # empty message
     "java.lang.E: x\nCaused by: inner\n\tat b.c.a(SourceFile:9)",
     "java.lang.E: x\n\tat a.a.a(File.java:5000000000)",
+    # adversarial over-cap / sentinel frame lines -> raw-preserved by both
+    "java.lang.E: x\n\tat a." + "b" * 9000 + ".c(F.java:1)\n\tat a.a.a(F.java:2)",
+    "java.lang.E: x\n\tat a.b\x01.c(F.java:1)\n\tat q\x02.w.e(G.java:2)",
 ]
 
 APPLE_CASES = [
@@ -55,6 +64,10 @@ APPLE_CASES = [
     "0   MyApp   0x0000000000001000 MyApp + 55\nnot a crash line\n"
     "1   libfoo.dylib   0x0000000000002040 libfoo.dylib + 64",
     "Thread 0 Crashed:\n0   CoreFoundation   0x00000001 CF + 1",
+    # adversarial over-cap / sentinel crash lines -> raw-preserved by both
+    "0   MyApp   0x0000000000001000 MyApp + 55 " + "z" * 9000,
+    "0   My\x01App   0x0000000000001000 MyApp + 55\n"
+    "1   My\x02App   0x0000000000001040 MyApp + 119",
 ]
 
 MK_CASES = [

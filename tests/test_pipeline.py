@@ -458,6 +458,38 @@ def test_skip_rows(results):
         assert r["text"] == input_text(key)
 
 
+def test_preserve_stack_trace_false(spark, fixture_dir):
+    """preserve_stack_trace=False: originals are dropped and the MetricKit
+    input attribute is REMOVED on success (logs_processor.go:398-400) but
+    left untouched on failure."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, preserve_stack_trace=False)
+    keys = ("js1", "mk1", "mk6", "mk7")
+    rows = [ROWS[[t[0] for t in ROWS].index(k)] for k in keys]
+    transcripts = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    out = run_pipeline(transcripts, load_lookups_cached(spark, fixture_dir), cfg=cfg)
+    r = {x["conv_id"]: x.asDict() for x in out.collect()}
+    # js: no originals kept
+    assert r["js1"]["exception_stacktrace_original"] is None
+    assert r["js1"]["sink"] == "js/ok"
+    # mk success, attr came from text (flattened): nothing to remove, no preserve
+    assert r["mk1"]["sink"] == "mk/ok"
+    assert r["mk1"]["metrickit_stacktrace_json"] is None
+    # mk success, legacy input attribute present: removed
+    assert r["mk6"]["sink"] == "mk/ok"
+    assert r["mk6"]["metrickit_stacktrace_json"] is None
+    # mk failure: input attribute untouched
+    assert r["mk7"]["sink"] == "mk/failed"
+    assert r["mk7"]["metrickit_stacktrace_json"] == '{"callStacks": [}'
+
+
+def load_lookups_cached(spark, fixture_dir):
+    from symspark.pipeline import load_lookups
+
+    return load_lookups(spark, fixture_dir)
+
+
 def test_sink_aggregates_shape(spark, fixture_dir, results):
     from symspark.pipeline import load_lookups
 
