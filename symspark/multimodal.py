@@ -6,11 +6,11 @@ metadata struct; feature extraction runs Arrow-batched through
 
 Decode status (container has no codec libraries — stdlib only):
 - REAL header decode for PNG (IHDR width/height), GIF (logical screen
-  size), and WAV (RIFF fmt/data chunks -> duration) — pure ``struct``
-  parsing, no new deps.  ``gen_media`` emits genuine tiny PNG/GIF/WAV
-  payloads built with ``zlib``/``struct`` so the real path is exercised
-  end-to-end.
-- Payloads in any other container (jpeg/mp4/...) keep the digest-derived
+  size), JPEG (marker walk to SOFn width/height), and WAV (RIFF fmt/data
+  chunks -> duration) — pure ``struct`` parsing, no new deps.
+  ``gen_media`` emits genuine tiny PNG/GIF/JPEG/WAV payloads built with
+  ``zlib``/``struct`` so the real path is exercised end-to-end.
+- Payloads in any other container (mp4/...) keep the digest-derived
   pseudo-feature with ``decode_ok=False`` and an explicit error — a real
   pixel/sample decoder plugs in by extending ``decode_header`` /
   ``_decode_one``.
@@ -70,6 +70,30 @@ def decode_header(payload: bytes) -> dict | None:
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         w, h = struct.unpack("<HH", payload[6:10])
         return {"format": "gif", "width": w, "height": h, "duration_ms": None}
+    if payload[:2] == b"\xff\xd8":
+        # JPEG: walk the marker segments to the first SOFn (C0-CF minus the
+        # non-frame C4/C8/CC); its body is precision(1) height(2) width(2)
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 > len(payload):
+                    break
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                return {"format": "jpeg", "width": w, "height": h, "duration_ms": None}
+            pos += 2 + seglen
+        return {"format": "jpeg", "width": None, "height": None, "duration_ms": None}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pos, byte_rate, data_size = 12, None, None
         while pos + 8 <= len(payload):
@@ -180,6 +204,21 @@ def make_gif(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
 
 
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal structurally-valid baseline JPEG: SOI, JFIF APP0, DQT,
+    SOF0 (1 grayscale component), DHT, SOS + stub entropy data, EOI."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht = seg(0xC4, b"\x00" + bytes([0] * 16) + b"")
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + b"\x00" + b"\xff\xd9"
+
+
 def gen_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table: real tiny PNG/GIF/WAV payloads
     interleaved with opaque (undecodable) blobs."""
@@ -188,7 +227,8 @@ def gen_media(spark, n: int = 64) -> DataFrame:
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            payload = make_png(4 + i % 8, 3 + i % 5) if i % 2 == 0 else make_gif(16 + i, 9 + i)
+            payload = (make_png(4 + i % 8, 3 + i % 5), make_gif(16 + i, 9 + i),
+                       make_jpeg(32 + i, 24 + i))[(i // 3) % 3]
             meta = {"width": None, "height": None, "duration_ms": None}
         elif kind == "audio":
             payload = make_wav(100 * (1 + i % 7))

@@ -910,28 +910,36 @@ ORACLE_SQL["ann_lsh_topk"] = ann_lsh_topk_oracle(64)
 ORACLE_SQL["ann_lsh_topk_wide"] = ann_lsh_topk_oracle(64, n_planes=6, radius=1)
 
 
-@q("dedup_embedding_cosine", None)  # oracle registered below (needs dim)
-def _dedup_embedding(spark, sf_dir):
+def _dedup_embedding_impl(spark, sf_dir, radius: int, n_planes: int = 4, t: float = 0.35):
     """Embedding-cosine near-dup: LSH-bucket-blocked pair generation (the
-    dedup-family scale shape - candidates come from equal sign-LSH
-    buckets, never an all-pairs cross join) + exact cosine verify.
+    dedup-family scale shape - candidates come from sign-LSH buckets,
+    never an all-pairs cross join) + exact cosine verify.
 
-    The oracle encodes the SAME blocked semantics, so the driver compare
-    checks the implementation; cross-bucket recall is the standard LSH
-    trade-off, tunable with more hyperplanes/tables."""
-    t = 0.35
+    Multiprobe (radius >= 1) recovers cross-bucket pairs — the round-3
+    single-probe recall gap: ONE side's vectors are exploded to their own
+    bucket plus every bucket at Hamming distance <= radius, and the join
+    stays an EQUI-join on the probe key (the scale-correct shape: bucket
+    remains the shuffle/partition key; a Hamming-distance theta-join would
+    be a nested-loop).  Each qualifying pair matches exactly one probe, so
+    no distinct pass is needed."""
     e = _persist(
         _t(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", _bucket_expr().alias("bucket")
+            "vec_id", "embedding", _bucket_expr(n_planes=n_planes).alias("bucket")
         ),
         "dedup_embedding_cosine",
     )
-    a, b = e.alias("a"), e.alias("b")
+    probes = [F.col("bucket")]
+    if radius >= 1:
+        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    a = e.select(
+        "vec_id", "embedding", F.explode(F.array(*probes)).alias("probe")
+    ).alias("a")
+    b = e.alias("b")
     sim = _cosine_pd()(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.probe") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -942,7 +950,16 @@ def _dedup_embedding(spark, sf_dir):
     )
 
 
-def dedup_embedding_oracle(dim: int) -> str:
+@q("dedup_embedding_cosine", None)  # oracle registered below (needs dim)
+def _dedup_embedding(spark, sf_dir):
+    """Radius-1 multiprobe config; the oracle encodes the SAME semantics
+    (Hamming <= 1 blocked pairs), so the driver compare checks the
+    implementation.  tests/test_queries.py pins recall vs the brute-force
+    all-pairs oracle and vs the single-probe config."""
+    return _dedup_embedding_impl(spark, sf_dir, radius=1)
+
+
+def dedup_embedding_oracle(dim: int, radius: int = 1) -> str:
     return f"""
 WITH b AS (
   SELECT vec_id, embedding, CAST({_bucket_sql_duck(dim)} AS INTEGER) AS bucket
@@ -950,7 +967,7 @@ WITH b AS (
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS sim
-FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM b a JOIN b b ON bit_count(xor(a.bucket, b.bucket)) <= {radius} AND a.vec_id < b.vec_id
 WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) >= 0.35
 """
 

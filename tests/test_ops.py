@@ -328,7 +328,15 @@ def test_decode_header_pure():
     assert gif["format"] == "gif" and (gif["width"], gif["height"]) == (320, 200)
     wav = mm.decode_header(mm.make_wav(1500))
     assert wav["format"] == "wav" and wav["duration_ms"] == 1500
-    assert mm.decode_header(b"\xff\xd8\xff\xe0 not a real jpeg") is None
+    jpg = mm.decode_header(mm.make_jpeg(640, 480))
+    assert jpg == {"format": "jpeg", "width": 640, "height": 480, "duration_ms": None}
+    # truncated-after-SOI jpeg: recognized container, no dimensions
+    trunc = mm.decode_header(b"\xff\xd8\xff\xd9" + bytes(8))
+    assert trunc["format"] == "jpeg" and trunc["width"] is None
+    # SOI marker but garbage segments: jpeg container, no dimensions
+    junk = mm.decode_header(b"\xff\xd8\xff\xe0 not a real jpeg")
+    assert junk["format"] == "jpeg" and junk["width"] is None
+    assert mm.decode_header(b"RIFX not a container here") is None
     assert mm.decode_header(None) is None
 
 
