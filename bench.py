@@ -129,16 +129,29 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # gate and the warm-up - probe again here, immediately before timing.
     quiet_probe = wait_for_quiet()
 
-    # the sandbox host shows heavy CPU-steal bursts (runs vary up to 7x);
-    # the MIN of N runs is the steal-robust estimator of true wall time
-    n_runs = int(os.environ.get("SYMSPARK_BENCH_RUNS", "3"))
-    runs = []
+    # the sandbox host shows heavy CPU-steal bursts (runs vary up to 7x)
+    # that can start AFTER the quiet gate passes, so every run is bracketed
+    # by multi-core probes and the headline is the min over runs whose BOTH
+    # surrounding probes read quiet — a provably-in-a-quiet-stretch
+    # estimator.  Up to 3 extra runs are added when no bracketed-quiet run
+    # exists yet; if the storm outlasts them all, fall back to the plain
+    # min and let the probe trail in the artifact tell the story.
+    n_runs = int(os.environ.get("SYMSPARK_BENCH_RUNS", "5"))
+    runs: list[float] = []
+    probes = [quiet_probe]
     enriched = run_pipeline(transcripts, lookups, dims=dims)
-    for _ in range(n_runs):
+    for i in range(n_runs + 3):
         t0 = time.perf_counter()
         enriched.write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
-    pipeline_sec = min(runs)
+        probes.append(multicore_calibration())
+        clean = [
+            r for r, pb, pa in zip(runs, probes, probes[1:])
+            if pb <= 0.5 and pa <= 0.5
+        ]
+        if i + 1 >= n_runs and clean:
+            break
+    pipeline_sec = min(clean) if clean else min(runs)
 
     # aggregation: in default mode, timed on a PERSISTED enriched frame so
     # the number is the hash-agg alone, not another full pipeline pass (the
@@ -173,6 +186,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "quiet_probe_pre_timing_sec": quiet_probe,
         "pipeline_enrich": round(pipeline_sec, 3),
         "pipeline_enrich_runs": [round(r, 3) for r in runs],
+        "pipeline_enrich_probes": [round(p, 3) for p in probes],
+        "pipeline_enrich_bracketed_quiet": bool(clean),
         "pipeline_aggregate": round(agg_sec, 3),
         "pipeline_aggregate_runs": [round(r, 3) for r in agg_runs],
         **({"pipeline_aggregate_agg_only": round(agg_only, 3)} if agg_only is not None else {}),
