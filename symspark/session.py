@@ -76,13 +76,20 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", max_part)
         .config("spark.ui.enabled", os.environ.get("SYMSPARK_UI", "false"))
     )
-    if master.startswith("local["):
-        # Local-mode shuffle is node-local disk/page-cache: compression buys
-        # nothing and its JNI codec holds GetPrimitiveArrayCritical, so at
-        # high thread counts every young GC becomes "GCLocker Initiated" and
-        # allocation stalls serialize the job (observed: 36% of task time in
-        # GC with compression on, ~2% off; 2.3x end-to-end).  A real cluster
-        # shuffles over the network and keeps the default (lz4) compression.
+    if master.startswith("local[") and os.environ.get("SYMSPARK_SHUFFLE_COMPRESS", "1") == "0":
+        # Shuffle compression history on this host: with the round-2 Arrow-
+        # UDF parse engine it was a 2.3x LOSS at 32 threads (the JNI codec
+        # holds GetPrimitiveArrayCritical; combined with the Python workers'
+        # allocation pressure every young GC became "GCLocker Initiated").
+        # With the round-3 JVM-expression engine that pressure is gone and
+        # the trade flips: lz4 sends ~3x fewer bytes through the SHARED
+        # memory system, which is the measured scaling bottleneck at high
+        # thread counts (round-4 A/B on the honest 2.4M-turn workload:
+        # 109.5k turns/s at local[32] compressed vs ~58k uncompressed; -10%
+        # at local[8] where bandwidth is not binding).  Compression is
+        # therefore ON by default — also the cluster default — and
+        # SYMSPARK_SHUFFLE_COMPRESS=0 preserves the uncompressed config for
+        # A/B reruns.
         builder = (
             builder.config("spark.shuffle.compress", "false")
             .config("spark.shuffle.spill.compress", "false")
