@@ -172,7 +172,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                 aggs = sink_aggregates(cached).collect()
                 agg_runs.append(time.perf_counter() - t0)
         finally:
-            cached.unpersist(blocking=False)
+            # blocking: lingering cache blocks would pressure the catalog
+            # queries' memory right after this (r4 verdict, residual note)
+            cached.unpersist(blocking=True)
         agg_only = min(agg_runs)
         agg_sec = pipeline_sec + agg_only
     else:

@@ -220,8 +220,8 @@ def make_jpeg(width: int, height: int) -> bytes:
 
 
 def gen_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table: real tiny PNG/GIF/WAV payloads
-    interleaved with opaque (undecodable) blobs."""
+    """Deterministic synthetic media table: real tiny PNG/GIF/JPEG/WAV/MP4
+    payloads interleaved with opaque (undecodable) blobs."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):

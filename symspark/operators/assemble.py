@@ -316,5 +316,5 @@ def assemble_records(grouped: DataFrame, cfg: PipelineConfig) -> DataFrame:
         ),
     }
     return df.withColumns(out_cols).drop(
-        "efs", "p_name", "p_message", "p_mode", "p_error"
+        "efs", "p_name", "p_message", "p_error"
     )

@@ -184,11 +184,14 @@ def explode_frames(parsed_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     frame only, so the regroup shuffle moves each record's payload once
     instead of once per frame."""
     parsed = F.col("parsed")
+    # parsed["mode"] (the TraceKit parse mode) is deliberately NOT carried:
+    # record assembly never reads it, and every column here rides the rec
+    # payload across the regroup exchange — shuffle bytes are the scaling
+    # bottleneck, so the payload carries exactly what assembly consumes.
     df = parsed_df.withColumns(
         {
             "p_name": parsed["name"],
             "p_message": parsed["message"],
-            "p_mode": parsed["mode"],
             "p_error": parsed["error"],
         }
     )

@@ -197,14 +197,19 @@ def prepare_dims_bucketed(
         keys = _DIM_BUCKET_KEYS[name]
         table = f"{prefix}_{name}"
         if use_iceberg:
+            # full-key pruning relies on per-file column stats, so the data
+            # actually written must be sorted by the complete join key —
+            # an ALTER ... WRITE ORDERED BY issued after createOrReplace()
+            # only governs FUTURE writes, not the one that just happened
+            # (see iceberg_dim_partition_spec).  Sort the frame itself, and
+            # ALSO record the sort order in table metadata for appends.
             (
-                df.writeTo(table)
+                df.sort(*keys)
+                .writeTo(table)
                 .using("iceberg")
                 .partitionedBy(*iceberg_dim_partition_spec(name, n_buckets))
                 .createOrReplace()
             )
-            # full-key pruning relies on per-file column stats; order the
-            # files by the complete join key (see iceberg_dim_partition_spec)
             spark.sql(
                 f"ALTER TABLE {table} WRITE ORDERED BY ({', '.join(keys)})"
             )
