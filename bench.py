@@ -68,6 +68,37 @@ def cpu_calibration() -> float:
     return round(best, 3)
 
 
+def bracketed_min(run_once, probe_before: float, min_runs: int = 2,
+                  max_runs: int = 4, quiet: float = 0.5):
+    """Probe-bracketed quiet-min estimator (the r4 pipeline headline fix,
+    now shared with every catalog query — r4's published 4-15x dedup
+    "regressions" were storms hitting an unbracketed min-of-2 loop).
+
+    Each timed run is bracketed by multi-core host probes; a sample counts
+    as CLEAN only when BOTH surrounding probes read quiet.  Runs continue
+    past ``min_runs`` (up to ``max_runs``) until a clean sample exists; if
+    the storm outlasts them all, fall back to the plain min and report
+    clean=False so the artifact says so.
+
+    Returns (best_sec, runs, probes, clean) — probes[-1] doubles as the
+    next caller's probe_before, so a timing loop pays one probe per run.
+    """
+    runs: list[float] = []
+    probes = [probe_before]
+    for i in range(max_runs):
+        t0 = time.perf_counter()
+        run_once()
+        runs.append(time.perf_counter() - t0)
+        probes.append(multicore_calibration())
+        clean = [
+            r for r, pb, pa in zip(runs, probes, probes[1:])
+            if pb <= quiet and pa <= quiet
+        ]
+        if i + 1 >= min_runs and clean:
+            break
+    return (min(clean) if clean else min(runs)), runs, probes, bool(clean)
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     from symspark.plans import queries as Q
     from symspark.pipeline import load_lookups, prepare_dims, run_pipeline, sink_aggregates
@@ -133,25 +164,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # that can start AFTER the quiet gate passes, so every run is bracketed
     # by multi-core probes and the headline is the min over runs whose BOTH
     # surrounding probes read quiet — a provably-in-a-quiet-stretch
-    # estimator.  Up to 3 extra runs are added when no bracketed-quiet run
-    # exists yet; if the storm outlasts them all, fall back to the plain
-    # min and let the probe trail in the artifact tell the story.
+    # estimator (bracketed_min).
     n_runs = int(os.environ.get("SYMSPARK_BENCH_RUNS", "5"))
-    runs: list[float] = []
-    probes = [quiet_probe]
     enriched = run_pipeline(transcripts, lookups, dims=dims)
-    for i in range(n_runs + 3):
-        t0 = time.perf_counter()
-        enriched.write.format("noop").mode("overwrite").save()
-        runs.append(time.perf_counter() - t0)
-        probes.append(multicore_calibration())
-        clean = [
-            r for r, pb, pa in zip(runs, probes, probes[1:])
-            if pb <= 0.5 and pa <= 0.5
-        ]
-        if i + 1 >= n_runs and clean:
-            break
-    pipeline_sec = min(clean) if clean else min(runs)
+    pipeline_sec, runs, probes, pipeline_clean = bracketed_min(
+        lambda: enriched.write.format("noop").mode("overwrite").save(),
+        quiet_probe, min_runs=n_runs, max_runs=n_runs + 3,
+    )
 
     # aggregation: in default mode, timed on a PERSISTED enriched frame so
     # the number is the hash-agg alone, not another full pipeline pass (the
@@ -189,26 +208,32 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "pipeline_enrich": round(pipeline_sec, 3),
         "pipeline_enrich_runs": [round(r, 3) for r in runs],
         "pipeline_enrich_probes": [round(p, 3) for p in probes],
-        "pipeline_enrich_bracketed_quiet": bool(clean),
+        "pipeline_enrich_bracketed_quiet": pipeline_clean,
         "pipeline_aggregate": round(agg_sec, 3),
         "pipeline_aggregate_runs": [round(r, 3) for r in agg_runs],
         **({"pipeline_aggregate_agg_only": round(agg_only, 3)} if agg_only is not None else {}),
     }
     if os.environ.get("SYMSPARK_BENCH_QUERIES", "1") != "0":
-        # min-of-2 per catalog query + host probes around the loop: the
-        # round-2 asof_join/broadcast_enrich "regressions" were within the
-        # host's noise band but nothing pinned it — now each number is the
-        # min of two runs bracketed by multi-core quietness probes
-        qtimes["catalog_probe_before_sec"] = multicore_calibration()
+        # every catalog query gets the same probe-bracketed quiet-min
+        # estimator as the headline (r4 published 4-15x dedup "regressions"
+        # that were storms hitting an unbracketed min-of-2 mid-loop); the
+        # probe after query i doubles as the probe before query i+1, so the
+        # loop pays one ~0.3s probe per timed run.
+        probe = multicore_calibration()
+        qtimes["catalog_probe_before_sec"] = probe
+        unclean = []
         for name in BENCH_QUERIES:
             fn = Q.SPARK_QUERIES[name]
-            best = 1e9
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+            best, _qruns, qprobes, qclean = bracketed_min(
+                lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save(),
+                probe,
+            )
+            probe = qprobes[-1]
             qtimes[name] = round(best, 3)
-        qtimes["catalog_probe_after_sec"] = multicore_calibration()
+            if not qclean:
+                unclean.append(name)
+        qtimes["catalog_probe_after_sec"] = probe
+        qtimes["catalog_unclean_queries"] = unclean  # [] = all bracketed-quiet
         Q.release_caches()
 
     return {
