@@ -6,14 +6,14 @@ metadata struct; feature extraction runs Arrow-batched through
 
 Decode status (container has no codec libraries — stdlib only):
 - REAL header decode for PNG (IHDR width/height), GIF (logical screen
-  size), JPEG (marker walk to SOFn width/height), and WAV (RIFF fmt/data
-  chunks -> duration) — pure ``struct`` parsing, no new deps.
-  ``gen_media`` emits genuine tiny PNG/GIF/JPEG/WAV payloads built with
-  ``zlib``/``struct`` so the real path is exercised end-to-end.
-- Payloads in any other container (mp4/...) keep the digest-derived
-  pseudo-feature with ``decode_ok=False`` and an explicit error — a real
-  pixel/sample decoder plugs in by extending ``decode_header`` /
-  ``_decode_one``.
+  size), JPEG (marker walk to SOFn width/height), WAV (RIFF fmt/data
+  chunks -> duration), and MP4/ISO-BMFF (box walk to moov/mvhd ->
+  timescale/duration) — pure ``struct`` parsing, no new deps.
+  ``gen_media`` emits genuine tiny PNG/GIF/JPEG/WAV/MP4 payloads built
+  with ``zlib``/``struct`` so the real path is exercised end-to-end.
+- Payloads in any other container keep the digest-derived pseudo-feature
+  with ``decode_ok=False`` and an explicit error — a real pixel/sample
+  decoder plugs in by extending ``decode_header`` / ``_decode_one``.
 The ``feature`` vector itself is a deterministic payload-digest embedding
 stand-in for all kinds (an ML featurizer is model-dependent, not a Spark
 concern); the Spark-side schema, partitioning, and batch shape are real.
@@ -94,6 +94,42 @@ def decode_header(payload: bytes) -> dict | None:
                 return {"format": "jpeg", "width": w, "height": h, "duration_ms": None}
             pos += 2 + seglen
         return {"format": "jpeg", "width": None, "height": None, "duration_ms": None}
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # ISO BMFF (mp4/mov/m4a): walk top-level boxes to moov, then its
+        # children to mvhd (version(1) flags(3), v0: creation(4) mod(4)
+        # timescale(4) duration(4); v1: creation(8) mod(8) timescale(4)
+        # duration(8)) — duration_ms = duration * 1000 / timescale
+        def boxes(buf: bytes, pos: int, end: int):
+            while pos + 8 <= end:
+                (sz,) = struct.unpack(">I", buf[pos : pos + 4])
+                typ = buf[pos + 4 : pos + 8]
+                hdr = 8
+                if sz == 1 and pos + 16 <= end:  # 64-bit largesize
+                    (sz,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                    hdr = 16
+                elif sz == 0:  # box extends to end of file
+                    sz = end - pos
+                if sz < hdr:
+                    return
+                yield typ, pos + hdr, min(pos + sz, end)
+                pos += sz
+
+        dur = None
+        for typ, s, e in boxes(payload, 0, len(payload)):
+            if typ == b"moov":
+                for t2, s2, e2 in boxes(payload, s, e):
+                    if t2 == b"mvhd":
+                        ver = payload[s2] if e2 > s2 else 0
+                        if ver == 1 and e2 - s2 >= 32:
+                            (ts,) = struct.unpack(">I", payload[s2 + 20 : s2 + 24])
+                            (d,) = struct.unpack(">Q", payload[s2 + 24 : s2 + 32])
+                        elif ver == 0 and e2 - s2 >= 20:
+                            ts, d = struct.unpack(">II", payload[s2 + 12 : s2 + 20])
+                        else:
+                            continue
+                        if ts:
+                            dur = int(d) * 1000 // ts
+        return {"format": "mp4", "width": None, "height": None, "duration_ms": dur}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pos, byte_rate, data_size = 12, None, None
         while pos + 8 <= len(payload):
@@ -219,6 +255,20 @@ def make_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + b"\x00" + b"\xff\xd9"
 
 
+def make_mp4(duration_ms: int) -> bytes:
+    """Minimal structurally-valid ISO BMFF file: ftyp + moov(mvhd v0,
+    timescale 1000) + a stub mdat."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    # mvhd v0 is 100 bytes: ver/flags, creation, modification, timescale,
+    # duration, then rate/volume/reserved/matrix/predefined/next_track_id
+    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, 1000, duration_ms) + bytes(80))
+    return ftyp + box(b"moov", mvhd) + box(b"mdat", bytes(16))
+
+
 def gen_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table: real tiny PNG/GIF/JPEG/WAV/MP4
     payloads interleaved with opaque (undecodable) blobs."""
@@ -233,8 +283,11 @@ def gen_media(spark, n: int = 64) -> DataFrame:
         elif kind == "audio":
             payload = make_wav(100 * (1 + i % 7))
             meta = {"width": None, "height": None, "duration_ms": None}
-        else:  # no stdlib video container decoder: opaque blob
-            payload = hashlib.md5(f"media{i}".encode()).digest() * (1 + i % 5)
+        else:  # video: real mp4 headers interleaved with opaque blobs
+            if (i // 3) % 2 == 0:
+                payload = make_mp4(1000 * (i + 1))
+            else:
+                payload = hashlib.md5(f"media{i}".encode()).digest() * (1 + i % 5)
             meta = {"width": None, "height": None, "duration_ms": 1000 * (i + 1)}
         rows.append((i, kind, f"x/{kind}", bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -308,9 +308,13 @@ def test_multimodal_features(spark):
     assert by_id[1]["decode_ok"] is True
     assert by_id[1]["format"] == "wav"
     assert by_id[1]["duration_ms"] == 200
-    # media 2 is an opaque blob (no stdlib video decoder): explicit error
-    assert by_id[2]["decode_ok"] is False
-    assert "unrecognized container" in by_id[2]["decode_error"]
+    # media 2 is a real mp4: duration from the moov/mvhd box walk
+    assert by_id[2]["decode_ok"] is True
+    assert by_id[2]["format"] == "mp4"
+    assert by_id[2]["duration_ms"] == 3000
+    # media 5 is an opaque blob (undecodable container): explicit error
+    assert by_id[5]["decode_ok"] is False
+    assert "unrecognized container" in by_id[5]["decode_error"]
     assert len(by_id[0]["feature"]) == multimodal.FEATURE_DIM
     # deterministic across runs
     again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
@@ -330,6 +334,13 @@ def test_decode_header_pure():
     assert wav["format"] == "wav" and wav["duration_ms"] == 1500
     jpg = mm.decode_header(mm.make_jpeg(640, 480))
     assert jpg == {"format": "jpeg", "width": 640, "height": 480, "duration_ms": None}
+    mp4 = mm.decode_header(mm.make_mp4(2750))
+    assert mp4 == {"format": "mp4", "width": None, "height": None, "duration_ms": 2750}
+    # ftyp brand but no moov/mvhd: recognized container, no duration
+    import struct
+
+    bare = mm.decode_header(struct.pack(">I", 16) + b"ftypisom" + bytes(8))
+    assert bare["format"] == "mp4" and bare["duration_ms"] is None
     # truncated-after-SOI jpeg: recognized container, no dimensions
     trunc = mm.decode_header(b"\xff\xd8\xff\xd9" + bytes(8))
     assert trunc["format"] == "jpeg" and trunc["width"] is None
