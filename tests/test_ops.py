@@ -227,6 +227,22 @@ def test_streaming_foreachbatch(spark, fixture_dir, stream_input, tmp_path):
     got = spark.read.parquet(os.path.join(out, "sinks"))
     t = spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
     assert got.count() == t.count()
+
+    # end-to-end batch-vs-streaming equality on the same fixture slice:
+    # the streamed micro-batches, concatenated, must reproduce the batch
+    # run exactly — same per-sink aggregates, same per-turn text bytes
+    batch = run_pipeline(t, lookups)
+    batch_aggs = {r["sink"]: tuple(r)[1:] for r in sink_aggregates(batch).collect()}
+    stream_aggs = {r["sink"]: tuple(r)[1:] for r in sink_aggregates(got).collect()}
+    assert stream_aggs == batch_aggs
+    diff = (
+        got.select("conv_id", "turn_idx", F.col("text").alias("s_text"))
+        .join(batch.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"], "full")
+        .where(~F.col("s_text").eqNullSafe(F.col("text")))
+        .count()
+    )
+    assert diff == 0
+
     # restart with no new data: nothing duplicated (exactly-once via checkpoint)
     q2 = run_streaming(spark, stream_input, lookups, out, ckpt)
     q2.awaitTermination(300)
