@@ -8,7 +8,10 @@ pinned in-tree.  This module gives users a real ingest path instead of
 synthetic parquet: the PUBLIC Breakpad symbol-file format (the standard
 plain-text interchange dumped from dSYMs by ``dump_syms``), parsed into
 the DSYM_SYMBOLS_SCHEMA address-range dimension rows the pipeline
-broadcast-joins.
+broadcast-joins.  ``build_store_from_dir`` additionally ingests RAW
+Mach-O/ELF images and ``.dSYM`` bundle directories with no external
+``dump_syms`` step, via :mod:`symspark.sources.native_debug` (stdlib
+container walk + DWARF .debug_line v2-v5).
 
 Supported records (Breakpad processor docs):
 
@@ -203,22 +206,48 @@ _SCHEMA = pa.schema(
 
 
 def build_store_from_dir(directory: str) -> tuple[pa.Table, pa.Table]:
-    """Parse every ``*.sym`` Breakpad file in ``directory`` (local path or
-    s3:// / gs:// / file:// URI) into the (dsym_symbols, dsym_store)
-    dimension tables."""
+    """Parse every symbol artifact in ``directory`` (local path or s3:// /
+    gs:// / file:// URI) into the (dsym_symbols, dsym_store) dimension
+    tables.  Three artifact shapes are ingested:
+
+    - ``*.sym`` Breakpad files (full inline chains),
+    - ``*.dSYM`` bundle directories — each
+      ``<bundle>/Contents/Resources/DWARF/<binary>`` image is read raw,
+    - bare Mach-O / ELF binaries (detected by magic), via
+      :mod:`symspark.sources.native_debug` (DWARF .debug_line + symtab).
+    """
     from pyarrow.fs import FileType
 
-    from symspark.sources import store_fs
+    from symspark.sources import native_debug, store_fs
 
     filesystem, root = store_fs.resolve(directory)
     all_rows: list[dict] = []
     store = {"build_uuid": [], "binary_name": []}
-    for info in store_fs.list_dir(filesystem, root):
-        if info.type != FileType.File or not info.base_name.endswith(".sym"):
-            continue
-        uuid, binary, rows = parse_breakpad_sym(store_fs.read_text(filesystem, info.path))
+
+    def ingest(uuid: str, binary: str, rows: list[dict]) -> None:
         all_rows.extend(rows)
         store["build_uuid"].append(uuid)
         store["binary_name"].append(binary)
+
+    for info in store_fs.list_dir(filesystem, root):
+        if info.type == FileType.Directory and info.base_name.endswith(".dSYM"):
+            dwarf_dir = f"{info.path}/Contents/Resources/DWARF"
+            if not store_fs.exists(filesystem, dwarf_dir):
+                continue
+            for image in store_fs.list_dir(filesystem, dwarf_dir):
+                if image.type != FileType.File:
+                    continue
+                data = store_fs.read_bytes(filesystem, image.path)
+                if native_debug.is_native_image(data):
+                    ingest(*native_debug.native_to_rows(data, image.base_name))
+            continue
+        if info.type != FileType.File:
+            continue
+        if info.base_name.endswith(".sym"):
+            ingest(*parse_breakpad_sym(store_fs.read_text(filesystem, info.path)))
+            continue
+        data = store_fs.read_bytes(filesystem, info.path)
+        if native_debug.is_native_image(data):
+            ingest(*native_debug.native_to_rows(data, info.base_name))
     cols = {name: [r[name] for r in all_rows] for name in _SCHEMA.names}
     return pa.table(cols, schema=_SCHEMA), pa.table(store)

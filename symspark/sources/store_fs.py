@@ -41,5 +41,10 @@ def read_text(filesystem: pafs.FileSystem, path: str) -> str:
         return f.read().decode("utf-8", errors="replace")
 
 
+def read_bytes(filesystem: pafs.FileSystem, path: str) -> bytes:
+    with filesystem.open_input_stream(path) as f:
+        return f.read()
+
+
 def exists(filesystem: pafs.FileSystem, path: str) -> bool:
     return filesystem.get_file_info(path).type != pafs.FileType.NotFound
