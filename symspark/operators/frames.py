@@ -139,6 +139,32 @@ def attach_parsed(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.col(cfg.exception_type_col),
         F.col(cfg.exception_message_col),
     )
+    if cfg.udf_parse_strategy == "join":
+        # Compute the UDF rows on a side branch and shuffle-hash-join them
+        # back: EvalPython nodes report UnknownPartitioning, so an inline
+        # UDF column destroys a bucketed input's partitioning and forces
+        # the regroup to re-shuffle the FULL table.  With the join, the hot
+        # path is JVM-only end-to-end — a conv_id-bucketed input carries
+        # its partitioning straight through explode + broadcast joins to
+        # the regroup (zero full-table exchanges); only the ~2% UDF branch
+        # shuffles.  The side is pre-aggregated to one turn_idx->parsed map
+        # per conversation and joined on conv_id ALONE: a co-partitioned
+        # join requires all its keys in the child partitioning
+        # (requireAllClusterKeysForCoPartition), so a (conv_id, turn_idx)
+        # join would have re-shuffled the bucketed big side anyway.
+        # shuffle_hash (not SMJ) keeps the streamed side sort-free.
+        # Requires unique (conv_id, turn_idx).
+        side = (
+            df.where(in_udf)
+            .groupBy("conv_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("turn_idx"), udf_parsed))
+                ).alias("_parsed_udf_map")
+            )
+        )
+        df = df.join(side.hint("shuffle_hash"), ["conv_id"], "left")
+        udf_parsed = F.element_at(F.col("_parsed_udf_map"), F.col("turn_idx"))
     parsed = (
         F.when(in_udf, udf_parsed)
         .when(route == "js_structured", _structured_parsed(cfg, "js"))
@@ -157,8 +183,8 @@ def attach_parsed(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
                 F.col(cfg.exception_type_col), F.col(cfg.exception_message_col),
             ),
         )
-        return df.withColumn("parsed", parsed).drop("_pp")
-    return df.withColumn("parsed", parsed)
+        return df.withColumn("parsed", parsed).drop("_pp", "_parsed_udf_map")
+    return df.withColumn("parsed", parsed).drop("_parsed_udf_map")
 
 
 # record-level columns the frame enrichment joins need on every frame row
