@@ -76,6 +76,17 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", max_part)
         .config("spark.ui.enabled", os.environ.get("SYMSPARK_UI", "false"))
     )
+    # Shuffle/spill codec override (r5 A/B, BASELINE.md): lz4 (Spark's
+    # default) stays shipped — its quiet-window best (45.8s on the 4.8M-turn
+    # workload) beat every zstd run — but zstd level 1 won 4/5 interleaved
+    # pairs on DEGRADED host windows (median 74.5s vs 124.4s): it moves
+    # ~2-3x fewer bytes through the contended memory system, so it degrades
+    # far less.  On noisy/multi-tenant hosts set SYMSPARK_IO_CODEC=zstd.
+    codec = os.environ.get("SYMSPARK_IO_CODEC")
+    if codec:
+        builder = builder.config("spark.io.compression.codec", codec)
+        if codec == "zstd":
+            builder = builder.config("spark.io.compression.zstd.level", "1")
     if master.startswith("local[") and os.environ.get("SYMSPARK_SHUFFLE_COMPRESS", "1") == "0":
         # Shuffle compression history on this host: with the round-2 Arrow-
         # UDF parse engine it was a 2.3x LOSS at 32 threads (the JNI codec
