@@ -165,7 +165,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # by multi-core probes and the headline is the min over runs whose BOTH
     # surrounding probes read quiet — a provably-in-a-quiet-stretch
     # estimator (bracketed_min).
-    n_runs = int(os.environ.get("SYMSPARK_BENCH_RUNS", "5"))
+    # 7 default runs: r5 found a sub-probe-resolution burst mode (seconds-
+    # scale steal bursts that 0.4s probes dodge but 10-30s runs always eat;
+    # same-config enrich runs swung 9->79s under quiet-reading probes), and
+    # the only defense a guest can mount is more samples under the min.
+    n_runs = int(os.environ.get("SYMSPARK_BENCH_RUNS", "7"))
     enriched = run_pipeline(transcripts, lookups, dims=dims)
     pipeline_sec, runs, probes, pipeline_clean = bracketed_min(
         lambda: enriched.write.format("noop").mode("overwrite").save(),
