@@ -147,6 +147,62 @@ def test_elf_dwarf_real_binary(tmp_path, gflag):
         assert out[0] == "add_nums" and out[1].endswith("demo.c:4")
 
 
+INL_SRC = """\
+#include <stdio.h>
+
+static inline __attribute__((always_inline)) int inner(int x) {
+    volatile int y = x * 3;
+    return y + 1;
+}
+
+static inline __attribute__((always_inline)) int outer(int x) {
+    volatile int z = inner(x) + 5;
+    return z * 2;
+}
+
+int main(int argc, char **argv) {
+    int r = outer(argc + 6);
+    printf("%d %s\\n", r, argv[0]);
+    return 0;
+}
+"""
+
+
+@pytest.mark.skipif(shutil.which("gcc") is None, reason="no C toolchain")
+@pytest.mark.parametrize("gflag", ["-gdwarf-4", "-gdwarf-5"])
+def test_inline_chains_from_debug_info(tmp_path, gflag):
+    """.debug_info inlined-subroutine chains: a 3-deep always_inline nest
+    must resolve innermost-first with call-site attribution, matching
+    binutils addr2line -i chain-for-chain at every multi-loc address."""
+    src = tmp_path / "inl.c"
+    src.write_text(INL_SRC)
+    exe = tmp_path / f"inl{gflag[-1]}"
+    subprocess.run(
+        ["gcc", gflag, "-O2", "-Wl,--build-id", str(src), "-o", str(exe)], check=True
+    )
+    _, _, rows = nd.native_to_rows(exe.read_bytes(), exe.name)
+    deep = [r for r in rows if len(r["locs"]) >= 3]
+    assert deep, "always_inline x2 must produce 3-deep chains"
+    chain = [(l["symbol"], l["line"]) for l in deep[0]["locs"]]
+    assert [s for s, _ in chain] == ["inner", "outer", "main"]
+    # innermost at the line row's position; callers at their call sites
+    assert chain[1][1] == 9 and chain[2][1] == 14
+
+    if shutil.which("addr2line"):
+        for r in [x for x in rows if len(x["locs"]) > 1][:8]:
+            addr = r["sym_start_addr"]
+            out = subprocess.run(
+                ["addr2line", "-e", str(exe), "-i", "-f", hex(addr)],
+                capture_output=True, text=True, check=True,
+            ).stdout.splitlines()
+            ref = [
+                (out[i], out[i + 1].rsplit(":", 1)[-1].split(" ")[0])
+                for i in range(0, len(out), 2)
+            ]
+            mine = [(l["symbol"], str(l["line"])) for l in r["locs"]]
+            assert mine == ref, f"@{hex(addr)}: {mine} != {ref}"
+
+
 # ---------------------------------------------------------------------------
 # .dSYM bundle -> store tables -> Spark range-table lookup (end to end)
 # ---------------------------------------------------------------------------
