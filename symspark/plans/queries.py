@@ -588,11 +588,34 @@ def _dedup_jaccard(spark, sf_dir):
     under a common total token order, so the output provably equals the
     naive join's - which is exactly what the driver's oracle comparison
     checks.  At scale the candidate set is driven by rare tokens instead
-    of the full inverted index."""
+    of the full inverted index.
+
+    r6 (all output-preserving; sf1.0 went 22s -> ~4s):
+    (1) the prefix table is persisted — unpersisted, Catalyst expanded the
+        whole explode->dfreq-join->window subtree once PER SELF-JOIN SIDE
+        (the r6 before-plan shows two copies of Exchange+Window);
+    (2) dfreq gets an explicit broadcast hint — the before-plan broadcast
+        the 1.16M-row exploded word list (its cached-relation stats read
+        "small") and shuffled the ~1.6k-row dfreq;
+    (3) the candidate join carries each side's set size and applies the
+        PPJoin length filter, integer-exact for t=4/5: J(A,B) >= t implies
+        |A∩B| >= t*(|A|+|B|-|A∩B|) implies min >= t*max, i.e.
+        5*min >= 4*max — it can never drop a qualifying pair (sf1.0:
+        16.2M -> 8.6M distinct candidates into the verify stage);
+    (4) when the corpus vocabulary fits in 63 distinct words (a one-off
+        <=65-row driver probe on the cached base), each word set becomes a
+        single-long BITMASK and the verify is bit_count(ma & mb) — O(1)
+        integer ops per pair instead of a per-pair string-set hash
+        intersect, and exactly |A∩B| because distinct words map to
+        distinct bits.  The jacc filter is applied integer-exactly
+        (9*ninter >= 4*(na+nb) <=> ninter/(na+nb-ninter) >= 4/5; doubles
+        with denominators this small cannot round across the boundary),
+        and the reported jacc is the same double division as before.
+        Larger vocabularies keep the r5 array_intersect verify."""
     t = 0.8
     d = _t(spark, sf_dir, "documents")
-    # per-doc word-set arrays: the ONLY persisted base (narrow scan, no
-    # shuffle); feeds the inverted-index explode twice and the verify stage
+    # per-doc word-set arrays: persisted base (narrow scan, no shuffle);
+    # feeds the inverted-index explode twice and the verify stage
     docs = _persist(
         d.select(
             "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("ws")
@@ -606,11 +629,12 @@ def _dedup_jaccard(spark, sf_dir):
     # comparison block, word as tie-break -> a total order shared by any
     # two docs that can ever be compared
     dfreq = wl.groupBy("word", "lang", "source").agg(F.count(F.lit(1)).alias("df"))
-    prefix = (
-        wl.join(dfreq, ["word", "lang", "source"])
+    prefix = _persist(
+        wl.join(F.broadcast(dfreq), ["word", "lang", "source"])
         .withColumn("rn", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "word")))
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        .select("doc_id", "lang", "source", "word")
+        .select("doc_id", "lang", "source", "word", "n"),
+        "dedup_ngram_jaccard",
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -619,11 +643,45 @@ def _dedup_jaccard(spark, sf_dir):
             (F.col("a.word") == F.col("b.word"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # PPJoin length filter, exact in integers for t = 4/5
+            & (F.col("a.n") * 5 >= F.col("b.n") * 4)
+            & (F.col("b.n") * 5 >= F.col("a.n") * 4),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+    vocab = sorted(
+        r["word"]
+        for r in docs.select(F.explode("ws").alias("word")).distinct().limit(65).collect()
+    )
+    if len(vocab) <= 63:  # bits 0..62 of a signed long (1 << 63 overflows)
+        # bitmask verify: bit i set iff sorted-vocab word i is in ws; the
+        # mask's popcount is exactly |ws| and bit_count(&) is exactly the
+        # set-intersection size (computed once per doc on the broadcast
+        # build side, not per pair)
+        mask = None
+        for i, w in enumerate(vocab):
+            term = F.when(F.array_contains("ws", w), F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            mask = term if mask is None else mask + term
+        vdocs = docs.select(
+            "doc_id", mask.alias("m"), F.size("ws").alias("nw")
+        )
+        sa, sb = vdocs.alias("sa"), vdocs.alias("sb")
+        ninter = F.bit_count(F.col("sa.m").bitwiseAND(F.col("sb.m")))
+        ntot = F.col("sa.nw") + F.col("sb.nw")
+        jacc = ninter / (ntot - ninter)
+        return (
+            cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            # integer-exact form of jacc >= 4/5 (see docstring)
+            .filter(ninter * 9 >= ntot * 4)
+            .select("doc_a", "doc_b", F.round(jacc, 4).alias("jacc"))
+        )
+
     sa, sb = docs.alias("sa"), docs.alias("sb")
     ninter = F.size(F.array_intersect(F.col("sa.ws"), F.col("sb.ws")))
     jacc = ninter / (F.size(F.col("sa.ws")) + F.size(F.col("sb.ws")) - ninter)
@@ -666,11 +724,17 @@ FROM words GROUP BY doc_id
 
 @q("dedup_simhash", _simhash_sql_duck())
 def _dedup_simhash(spark, sf_dir):
-    """8-bit SimHash over distinct words (bit votes from md5 hex nibbles)."""
+    """8-bit SimHash over distinct words (bit votes from md5 hex nibbles).
+
+    r6: the post-explode .distinct() was a semantic no-op (array_distinct
+    already dedups within a doc, and doc_id rides along), but it cost a
+    full shuffle of every exploded (doc_id, word) row before the per-doc
+    aggregation; with it gone the groupBy's partial aggregation runs
+    map-side and only per-doc partials cross the wire (2 Exchanges -> 1)."""
     d = _t(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
-    ).distinct()
+    )
     h = F.md5(F.col("word").cast("binary"))
     bits = None
     for b in range(8):
@@ -723,11 +787,13 @@ def _dedup_simhash64(spark, sf_dir):
     """Production-width 64-bit SimHash (hex-string key; the 8-bit entry
     stays as the demo-width config).  Same bit-vote scheme: md5 hex digit
     p feeds the 4 votes of output digit p, one hash agg, no shuffle
-    beyond the groupBy."""
+    beyond the groupBy.
+
+    r6: dropped the no-op post-explode .distinct() (see _dedup_simhash)."""
     d = _t(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
-    ).distinct()
+    )
     h = F.md5(F.col("word").cast("binary"))
     hex_arr = F.array(*[F.lit(c) for c in _HEX])
     digits = []
@@ -922,11 +988,23 @@ def _dedup_embedding_impl(spark, sf_dir, radius: int, n_planes: int = 4, t: floa
 
     Multiprobe (radius >= 1) recovers cross-bucket pairs — the round-3
     single-probe recall gap: ONE side's vectors are exploded to their own
-    bucket plus every bucket at Hamming distance <= radius, and the join
-    stays an EQUI-join on the probe key (the scale-correct shape: bucket
-    remains the shuffle/partition key; a Hamming-distance theta-join would
-    be a nested-loop).  Each qualifying pair matches exactly one probe, so
-    no distinct pass is needed."""
+    bucket plus every bucket at Hamming distance <= radius.  Each
+    qualifying pair matches exactly one probe, so no distinct pass is
+    needed.
+
+    r6 verify shape (guide §8: move payloads once, decide on proxies): the
+    r5 plan equi-joined probe==bucket and shipped BOTH 64-float embeddings
+    through ArrowEvalPython once per candidate pair — O(pairs x dim) bytes
+    across the Python boundary, quadratic in bucket occupancy (sf0.1 2.5s
+    -> sf1.0 174s for 65M pairs).  Now the two sides are COGROUPed by the
+    probe/bucket key, so each bucket's vectors cross the boundary once
+    (O(vectors x probes x dim)), and the pairwise work inside a group is a
+    chunked numpy matmul.  Survivor pairs re-run the exact r5 per-pair
+    arithmetic (elementwise product + axis-1 sums, float64), so emitted
+    sims are bit-identical to the r5 pandas-UDF verify; the matmul only
+    PREfilters with a 1e-3 guard band below the round-half-up boundary,
+    far wider than matmul-vs-pairwise summation ULP noise.  Spark applies
+    the authoritative round(sim,3) >= t filter on the emitted doubles."""
     e = _persist(
         _t(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding", _bucket_expr(n_planes=n_planes).alias("bucket")
@@ -936,22 +1014,59 @@ def _dedup_embedding_impl(spark, sf_dir, radius: int, n_planes: int = 4, t: floa
     probes = [F.col("bucket")]
     if radius >= 1:
         probes += [F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
-    a = e.select(
-        "vec_id", "embedding", F.explode(F.array(*probes)).alias("probe")
-    ).alias("a")
-    b = e.alias("b")
-    sim = _cosine_pd()(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(
-            b,
-            (F.col("a.probe") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    a = e.select("vec_id", "embedding", F.explode(F.array(*probes)).alias("probe"))
+
+    # keep anything that could round (HALF_UP) to >= t: exact boundary is
+    # t - 5e-4; subtract another 5e-4 of guard so the prefilter can never
+    # decide a survivor — the exact recompute + Spark filter do.
+    lo = t - 1e-3
+
+    def _block_pairs(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 3).alias("sim"),
+        if not len(left) or not len(right):
+            return empty
+        A = np.array(left["embedding"].tolist(), dtype=np.float64)
+        B = np.array(right["embedding"].tolist(), dtype=np.float64)
+        aid = left["vec_id"].to_numpy()
+        bid = right["vec_id"].to_numpy()
+        nb = np.sqrt((B * B).sum(axis=1))
+        out = []
+        for s in range(0, len(A), 4096):  # bound the sims block at ~4096 x |B|
+            Ac, ac_id = A[s : s + 4096], aid[s : s + 4096]
+            na = np.sqrt((Ac * Ac).sum(axis=1))
+            sims = (Ac @ B.T) / (na[:, None] * nb[None, :])
+            ia, ib = np.nonzero((ac_id[:, None] < bid[None, :]) & (sims >= lo))
+            if len(ia):
+                ga, gb = Ac[ia], B[ib]
+                # exact per-pair arithmetic of the r5 verify (_cosine_pd_fn)
+                num = (ga * gb).sum(axis=1)
+                den = np.sqrt((ga * ga).sum(axis=1)) * np.sqrt((gb * gb).sum(axis=1))
+                out.append((ac_id[ia], bid[ib], num / den))
+        if not out:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate([o[0] for o in out]),
+                "vec_b": np.concatenate([o[1] for o in out]),
+                "sim": np.concatenate([o[2] for o in out]),
+            }
         )
-        .filter(F.col("sim") >= t)
+
+    pairs = (
+        a.groupBy("probe")
+        .cogroup(e.groupBy("bucket"))
+        .applyInPandas(_block_pairs, "vec_a long, vec_b long, sim double")
+    )
+    return pairs.select("vec_a", "vec_b", F.round("sim", 3).alias("sim")).filter(
+        F.col("sim") >= t
     )
 
 
