@@ -31,6 +31,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism guard for expensive per-row projections (guide §2.5/§6):
+    a few-MB fixture parquet scans into only 1-2 input splits, so an
+    interpreted HOF / md5-vote projection placed directly above the scan
+    runs on 1-2 of the session's cores (measured: the 4-plane bucket
+    projection at sf1.0 took 0.67s on the 2-split embeddings scan, ~0.1s
+    spread).  Round-robin repartition to the session's parallelism ONLY
+    when the scan is narrower than that — at real scale the scan already
+    has >= cores splits and this is a no-op, so no shuffle is added where
+    it wouldn't pay.  Round-robin keeps Spark's sort-before-repartition
+    determinism; every consumer below is order-insensitive (groupBy /
+    join / orderBy)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # decimal-cast sum: deterministic & identical across engines
 def _dsum(col):
     return F.round(F.sum(col.cast("decimal(38,6)")), 2).cast("double")
@@ -613,7 +631,7 @@ def _dedup_jaccard(spark, sf_dir):
         and the reported jacc is the same double division as before.
         Larger vocabularies keep the r5 array_intersect verify."""
     t = 0.8
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     # per-doc word-set arrays: persisted base (narrow scan, no shuffle);
     # feeds the inverted-index explode twice and the verify stage
     docs = _persist(
@@ -730,8 +748,9 @@ def _dedup_simhash(spark, sf_dir):
     already dedups within a doc, and doc_id rides along), but it cost a
     full shuffle of every exploded (doc_id, word) row before the per-doc
     aggregation; with it gone the groupBy's partial aggregation runs
-    map-side and only per-doc partials cross the wire (2 Exchanges -> 1)."""
-    d = _t(spark, sf_dir, "documents")
+    map-side and only per-doc partials cross the wire (2 Exchanges -> 1).
+    _spread parallelizes the md5-vote projection past the 2-split scan."""
+    d = _spread(_t(spark, sf_dir, "documents"))
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
     )
@@ -789,8 +808,9 @@ def _dedup_simhash64(spark, sf_dir):
     p feeds the 4 votes of output digit p, one hash agg, no shuffle
     beyond the groupBy.
 
-    r6: dropped the no-op post-explode .distinct() (see _dedup_simhash)."""
-    d = _t(spark, sf_dir, "documents")
+    r6: dropped the no-op post-explode .distinct() (see _dedup_simhash)
+    and _spread the scan."""
+    d = _spread(_t(spark, sf_dir, "documents"))
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
     )
@@ -858,9 +878,15 @@ def _ann_topk(spark, sf_dir):
     """Brute-force cosine top-k against a fixed query vector (vec_id 0).
 
     The query vector rides in-plan as a broadcast 1-row cross join (no
-    driver .first() round-trip, no hidden job per invocation)."""
-    e = _t(spark, sf_dir, "embeddings")
-    qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    driver .first() round-trip, no hidden job per invocation).  r6:
+    _spread the corpus side so the interpreted HOF cosine isn't serialized
+    on the 2-split scan."""
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    # query branch from the plain scan: keeps vec_id = 0 pushdown (see
+    # _ann_lsh_topk_impl)
+    qdf = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
     sim = F.round(_cosine(F.col("embedding"), F.col("qe")), 3)
     return (
         e.filter(F.col("vec_id") != 0)
@@ -898,8 +924,9 @@ def _bucket_expr(col="embedding", n_planes: int = 4):
 @q("ann_lsh_buckets", None)  # oracle registered below (needs embedding dim)
 def _ann_lsh(spark, sf_dir):
     """LSH bucketing for ANN: sign bits against 4 integer hyperplanes ->
-    16-bucket histogram (bucket population audit for the scale path)."""
-    e = _t(spark, sf_dir, "embeddings")
+    16-bucket histogram (bucket population audit for the scale path).
+    r6: _spread the scan — the 4-plane HOF projection was the whole cost."""
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return e.groupBy(_bucket_expr().alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -935,17 +962,38 @@ def _ann_lsh_topk_impl(spark, sf_dir, n_planes: int, radius: int):
     LSH.  At 100 TB the bucket key becomes the shuffle/partition key (or a
     partition column of the vector table), so each query touches
     ~sum(C(planes,r<=radius))/2^planes of the corpus; brute-force
-    `ann_cosine_topk` is the recall oracle (tests/test_queries.py)."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    `ann_cosine_topk` is the recall oracle (tests/test_queries.py).
+
+    r6 (the r5 verdict's partition-pruning ask): the probe set is
+    ENUMERATED — the broadcast query row explodes into its bucket plus the
+    n_planes buckets one bit-flip away, and the corpus joins with an
+    EQUI-condition bucket == probe, exactly equivalent to the old
+    bit_count(bucket XOR qb) <= radius theta predicate for radius<=1.  A
+    bucket-partitioned vector table can now prune at scan (the probe list
+    is a join key, not a post-read filter), and the local plan becomes a
+    hash-lookup BroadcastHashJoin instead of a nested-loop filter.  Each
+    corpus vector matches at most one probe, so no dedup pass is needed."""
+    # _spread ONLY the corpus side: the query branch keeps the plain scan
+    # so its vec_id = 0 filter pushes down to parquet row-group stats (a
+    # repartition between filter and scan blocked that and cost ~0.6s)
+    e = _spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", _bucket_expr(n_planes=n_planes).alias("bucket")
     )
-    q = e.filter(F.col("vec_id") == 0).select(
+    q = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_expr(n_planes=n_planes).alias("bucket")
+    ).filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
     )
+    probes = [F.col("qb")]
+    if radius >= 1:
+        probes += [F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    if radius > 1:  # enumeration above only covers Hamming distance <= 1
+        raise ValueError("enumerated multiprobe implemented for radius <= 1")
+    qp = q.select("qe", F.explode(F.array(*probes)).alias("probe"))
     sim = F.round(_cosine(F.col("embedding"), F.col("qe")), 3)
     return (
         e.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q), F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))) <= radius)
+        .join(F.broadcast(qp), F.col("bucket") == F.col("probe"))
         .select("vec_id", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
@@ -1006,7 +1054,7 @@ def _dedup_embedding_impl(spark, sf_dir, radius: int, n_planes: int = 4, t: floa
     far wider than matmul-vs-pairwise summation ULP noise.  Spark applies
     the authoritative round(sim,3) >= t filter on the emitted doubles."""
     e = _persist(
-        _t(spark, sf_dir, "embeddings").select(
+        _spread(_t(spark, sf_dir, "embeddings")).select(
             "vec_id", "embedding", _bucket_expr(n_planes=n_planes).alias("bucket")
         ),
         "dedup_embedding_cosine",
@@ -1109,7 +1157,9 @@ SELECT doc_id,
 FROM documents
 """)
 def _text_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # _spread: the split + two interpreted array-filter projections were
+    # serialized on the 2-split fixture scan
+    d = _spread(_t(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     n = F.size(ws)
     avg_len = F.round(F.length(F.replace("text", F.lit(" "), F.lit(""))).cast("double") / n, 3)
