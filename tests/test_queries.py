@@ -130,3 +130,53 @@ def test_ann_lsh_topk_wide_recall(spark):
     bf = [r.vec_id for r in QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()]
     lsh = [r.vec_id for r in QUERIES["ann_lsh_topk_wide"](spark, SF_DIR).collect()]
     assert len(set(bf) & set(lsh)) / 10 >= 0.3
+
+
+def test_ngram_jaccard_large_vocab_fallback(spark, tmp_path):
+    """The r6 bitmask verify only fires when the corpus vocabulary fits in
+    63 words; a larger vocabulary must take the array_intersect fallback
+    and still produce the exact naive-join result."""
+    import itertools
+    from pyspark.sql import functions as F
+    from symspark.plans import queries as Q
+
+    # 80-word vocabulary (> 63) over a handful of near-duplicate docs
+    vocab = [f"w{i:02d}" for i in range(80)]
+    rows = []
+    for doc_id in range(40):
+        base = doc_id % 8
+        words = vocab[base * 10 : base * 10 + 10]
+        if doc_id % 2:  # near-dup: drop one word -> jaccard 9/10
+            words = words[:-1]
+        rows.append((doc_id, "en", "s", " ".join(words), len(" ".join(words))))
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string, n_chars long"
+    )
+    d = str(tmp_path)
+    sdf.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b): r.jacc
+        for r in Q.SPARK_QUERIES["dedup_ngram_jaccard"](spark, d).collect()
+    }
+    Q.release_caches()
+
+    # naive expected: all same-block pairs with word-set jaccard >= 0.8
+    expected = {}
+    docs = {r[0]: set(r[3].split(" ")) for r in rows}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        inter = len(docs[a] & docs[b])
+        jacc = inter / (len(docs[a]) + len(docs[b]) - inter)
+        if jacc >= 0.8:
+            expected[(a, b)] = round(jacc, 4)
+    assert got == expected and expected  # non-empty, exact
+
+
+def test_ann_lsh_topk_radius_guard(spark):
+    """The r6 enumerated multiprobe only covers Hamming radius <= 1; a
+    larger radius must fail loudly instead of silently under-probing."""
+    import pytest as _pytest
+    from symspark.plans import queries as Q
+
+    with _pytest.raises(ValueError):
+        Q._ann_lsh_topk_impl(spark, SF_DIR, n_planes=4, radius=2)
