@@ -685,8 +685,12 @@ def _dedup_jaccard(spark, sf_dir):
                 F.lit(0).cast("long")
             )
             mask = term if mask is None else mask + term
-        vdocs = docs.select(
-            "doc_id", mask.alias("m"), F.size("ws").alias("nw")
+        # persisted: the 63-term mask projection costs ~vocab x |ws| string
+        # compares per doc, and an unpinned frame would recompute it on
+        # EVERY broadcast build (once per run, twice per side pre-reuse)
+        vdocs = _persist(
+            docs.select("doc_id", mask.alias("m"), F.size("ws").alias("nw")),
+            "dedup_ngram_jaccard",
         )
         sa, sb = vdocs.alias("sa"), vdocs.alias("sb")
         ninter = F.bit_count(F.col("sa.m").bitwiseAND(F.col("sb.m")))
