@@ -1102,8 +1102,11 @@ def _dedup_embedding_impl(spark, sf_dir, radius: int, n_planes: int = 4, t: floa
         bid = right["vec_id"].to_numpy()
         nb = np.sqrt((B * B).sum(axis=1))
         out = []
-        for s in range(0, len(A), 4096):  # bound the sims block at ~4096 x |B|
-            Ac, ac_id = A[s : s + 4096], aid[s : s + 4096]
+        # bound the sims block at ~8M doubles (64 MB) regardless of bucket
+        # occupancy, so worker memory stays flat as the corpus scales
+        step = max(256, min(4096, 8_000_000 // max(1, len(B))))
+        for s in range(0, len(A), step):
+            Ac, ac_id = A[s : s + step], aid[s : s + step]
             na = np.sqrt((Ac * Ac).sum(axis=1))
             sims = (Ac @ B.T) / (na[:, None] * nb[None, :])
             ia, ib = np.nonzero((ac_id[:, None] < bid[None, :]) & (sims >= lo))
