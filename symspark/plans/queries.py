@@ -883,14 +883,12 @@ def _ann_topk(spark, sf_dir):
 
     The query vector rides in-plan as a broadcast 1-row cross join (no
     driver .first() round-trip, no hidden job per invocation).  r6:
-    _spread the corpus side so the interpreted HOF cosine isn't serialized
-    on the 2-split scan."""
-    e = _spread(_t(spark, sf_dir, "embeddings"))
-    # query branch from the plain scan: keeps vec_id = 0 pushdown (see
-    # _ann_lsh_topk_impl)
-    qdf = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe")
-    )
+    read both sides from the vector family's shared pinned base (the
+    bucket column rides along unused) so the interpreted HOF cosine runs
+    over the 32-partition cache, not a 2-split scan, and nothing is
+    recomputed per run."""
+    e = _bucketed_embeddings(spark, sf_dir)
+    qdf = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     sim = F.round(_cosine(F.col("embedding"), F.col("qe")), 3)
     return (
         e.filter(F.col("vec_id") != 0)
@@ -994,14 +992,11 @@ def _ann_lsh_topk_impl(spark, sf_dir, n_planes: int, radius: int):
     is a join key, not a post-read filter), and the local plan becomes a
     hash-lookup BroadcastHashJoin instead of a nested-loop filter.  Each
     corpus vector matches at most one probe, so no dedup pass is needed."""
-    # corpus side: the family's shared pinned base (_spread inside); the
-    # query branch keeps the plain scan so its vec_id = 0 filter pushes
-    # down to parquet row-group stats (a repartition between filter and
-    # scan blocked that and cost ~0.6s)
+    # both sides read the family's shared pinned base (_spread inside):
+    # the query row's filter scans the 20k-row cache instead of paying a
+    # second parquet scan + bucket projection per run
     e = _bucketed_embeddings(spark, sf_dir, n_planes=n_planes)
-    q = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _bucket_expr(n_planes=n_planes).alias("bucket")
-    ).filter(F.col("vec_id") == 0).select(
+    q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
     )
     probes = [F.col("qb")]
